@@ -1,0 +1,69 @@
+"""Runtime dispatch and hermetic timing.
+
+Analogue of the reference's host layer (``src/flash_attention.cu:34-150``):
+input validation, config -> kernel lookup, launch, and the optional
+cudaEvent timing path (``forward_timed``). On TPU the dispatch table is
+``jax.jit``'s specialization cache plus an ``lru_cache`` over
+(config, shape) — no codegen, no ``std::map``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from .ops.configs import KernelConfig
+from .ops.flash_forward import flash_forward
+
+__all__ = ["forward_timed", "median_runtime", "sync"]
+
+
+def sync(x):
+    """Force completion of ``x`` by reading one element back to the host.
+
+    ``block_until_ready`` alone is not a reliable fence on tunneled device
+    platforms (observed: a 1.1-TFLOP matmul "completing" in 29us on axon);
+    a host readback of a single element is. The analogue of the reference's
+    cudaEvent synchronization (``flash_attention.cu:114-132``).
+    """
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(leaf[(0,) * leaf.ndim])
+    return x
+
+
+def forward_timed(q, k, v, cfg: KernelConfig | None = None, *, scale=None,
+                  warmup: int = 2, iters: int = 10):
+    """Run the kernel and return (output, median_seconds_per_call).
+
+    The analogue of ``forward_timed`` / the benchmark=true cudaEvent path
+    (``flash_attention.cu:114-132``): compile + warm up first, then time
+    synchronous dispatches with ``block_until_ready`` fencing. Uses the
+    median, which is robust to the occasional host hiccup.
+    """
+    out = sync(flash_forward(q, k, v, cfg, scale=scale))
+    runtime = median_runtime(
+        lambda: flash_forward(q, k, v, cfg, scale=scale), warmup=warmup, iters=iters
+    )
+    return out, runtime
+
+
+def median_runtime(fn, *, warmup: int = 2, iters: int = 10, inner: int = 5) -> float:
+    """Median seconds per ``fn()`` call, amortized over ``inner`` dispatches.
+
+    Each sample issues ``inner`` back-to-back dispatches and fences once with
+    a host readback, so per-sample sync overhead (one tunnel round trip) is
+    amortized; the median over ``iters`` samples is robust to host hiccups.
+    """
+    for _ in range(warmup):
+        sync(fn())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(inner):
+            r = fn()
+        sync(r)
+        times.append((time.perf_counter() - t0) / inner)
+    times.sort()
+    return times[len(times) // 2]

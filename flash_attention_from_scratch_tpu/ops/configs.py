@@ -1,0 +1,393 @@
+"""Kernel configuration system and analytical FLOP model.
+
+TPU-native re-design of the reference's config universe
+(``py/flash_helpers/kernel_configs.py:106-485`` and
+``src/include/flash_attention.cuh:34-108``): a single frozen dataclass holds
+every tunable knob of the flash-attention forward kernel, derives resource
+estimates (VMEM instead of SMEM/registers), prunes the autotuning space, and
+round-trips through a canonical short-form string so any tool output (bench
+table row, profile entry, test id) maps back to a config.
+
+Unlike the reference there is no C++ mirror or codegen step
+(``tools/build/generate_kernel_instantiations.py``): ``jax.jit`` specializes
+per config, so the dispatch table is a cache keyed on this dataclass
+(see ``dispatch.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import itertools
+import os
+import re
+from typing import Iterable, Sequence
+
+import jax.numpy as jnp
+
+__all__ = [
+    "DType",
+    "KernelConfig",
+    "calc_self_attn_flop",
+    "calc_total_flop",
+    "calc_tile_softmax_flop",
+    "calc_arithmetic_intensity",
+    "get_autotuning_kernel_configs",
+    "get_kernel_progression_configs",
+    "get_kernels_to_build",
+    "get_kernel_configs",
+    "parse_short_form",
+    "should_autotune_config",
+]
+
+
+class DType(enum.Enum):
+    """Supported QKV element types.
+
+    The reference mirrors torch ScalarType values to avoid importing torch
+    (``kernel_configs.py:9-55``); here the enum carries the jnp dtype and the
+    native TPU tile shape (sublane x lane) instead, since tiling — not CUDA
+    vector width — is what layout decisions depend on.
+    """
+
+    FP32 = ("f32", jnp.float32, (8, 128))
+    BF16 = ("bf16", jnp.bfloat16, (16, 128))
+    FP16 = ("f16", jnp.float16, (16, 128))
+    FP8_E4M3 = ("f8e4m3", jnp.float8_e4m3fn, (32, 128))
+    INT8 = ("i8", jnp.int8, (32, 128))
+
+    def __init__(self, short: str, jnp_dtype, min_tile: tuple[int, int]):
+        self.short = short
+        self.jnp_dtype = jnp_dtype
+        self.min_tile = min_tile
+
+    @property
+    def bytes(self) -> int:
+        return jnp.dtype(self.jnp_dtype).itemsize
+
+    @classmethod
+    def from_short(cls, s: str) -> "DType":
+        for d in cls:
+            if d.short == s:
+                return d
+        raise ValueError(f"unknown dtype short form: {s!r}")
+
+    @classmethod
+    def from_jnp(cls, dt) -> "DType":
+        dt = jnp.dtype(dt)
+        for d in cls:
+            if jnp.dtype(d.jnp_dtype) == dt:
+                return d
+        raise ValueError(f"unsupported dtype: {dt}")
+
+
+class KVLoop(enum.Enum):
+    """How the KV-block loop is realized.
+
+    GRID: KV blocks are the innermost (``arbitrary``) grid dimension; the
+    Pallas pipeline double-buffers the HBM->VMEM copies automatically — the
+    TPU-idiomatic analogue of the reference's eager ``cp.async`` prefetch
+    (ladder steps 3-5, ``forward_kernel.cuh:39-64``).
+
+    FORI: one grid step per Q block; the kernel loops over KV blocks with
+    ``fori_loop`` and drives its own double-buffered ``make_async_copy``
+    pipeline from HBM refs — the "hand-rolled" rung of the ladder, and the
+    shape needed for causal early-exit and ring attention.
+    """
+
+    GRID = "grid"
+    FORI = "fori"
+
+
+@dataclasses.dataclass(frozen=True, order=True)
+class KernelConfig:
+    """All compile-time knobs of the flash forward kernel.
+
+    TPU analogue of ``FlashForwardKernelConfig`` (13 fields,
+    ``kernel_configs.py:106-174`` / ``flash_attention.cuh:34-52``). Every
+    field is static: changing any re-specializes the jitted kernel, exactly
+    like the reference's template instantiations.
+    """
+
+    # Tile shapes (ladder step 7: autotuning domain).
+    block_q: int = 256
+    block_kv: int = 512
+    d_head: int = 128
+
+    # Element types.
+    dtype: DType = DType.BF16
+    out_dtype: DType | None = None  # None -> same as dtype
+
+    # Softmax variants.
+    use_exp2: bool = True  # ladder step 6: fold scale*log2(e), use exp2
+    optimized_softmax: bool = True  # ladder step 10: specialize first KV block
+    cast_p_to_dtype: bool = True  # convert P to 16-bit before PV (ref: load_store.cuh:314)
+
+    # Iteration order / pipelining.
+    kv_loop: KVLoop = KVLoop.GRID
+    reverse_kv: bool = False  # ladder step 13: backwards KV iteration
+    num_kv_buffers: int = 2  # manual-pipeline depth (FORI only)
+
+    # Masking (extension beyond the reference, which is non-causal only).
+    causal: bool = False
+
+    # Resource hints.
+    vmem_limit_mb: int = 64
+
+    def __post_init__(self):
+        if self.block_q % 8 != 0 or self.block_kv % 128 != 0:
+            raise ValueError(
+                f"block_q must be a multiple of 8 (sublane) and block_kv of 128 "
+                f"(lane): got ({self.block_q}, {self.block_kv})"
+            )
+        if self.d_head % 128 != 0:
+            raise ValueError(f"d_head must be a multiple of 128: {self.d_head}")
+        if self.num_kv_buffers < 1:
+            raise ValueError("num_kv_buffers must be >= 1 (1 = synchronous copies)")
+        if self.causal and self.reverse_kv:
+            raise ValueError(
+                "causal + reverse_kv unsupported: the first processed KV block "
+                "must be fully visible for the online-softmax init"
+            )
+
+    # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,
+    #    flash_attention.cuh:54-65) ------------------------------------------
+
+    @property
+    def resolved_out_dtype(self) -> DType:
+        return self.out_dtype if self.out_dtype is not None else self.dtype
+
+    def vmem_bytes(self) -> int:
+        """Estimated VMEM working set of one grid step.
+
+        Counts the Pallas pipeline's double-buffered input/output windows
+        plus the fp32 accumulator and row-statistics scratch. TPU analogue of
+        ``FlashForwardKernelConfig::smem_bytes()`` (``flash_attention.cuh:54-56``).
+        """
+        b = self.dtype.bytes
+        q = self.block_q * self.d_head * b * 2  # double-buffered by pipeline
+        kv = 2 * self.block_kv * self.d_head * b * max(2, self.num_kv_buffers)
+        out = self.block_q * self.d_head * self.resolved_out_dtype.bytes * 2
+        acc = self.block_q * self.d_head * 4
+        stats = 2 * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
+        p = self.block_q * self.block_kv * 4  # S/P tile in fp32
+        return q + kv + out + acc + stats + p
+
+    def fits_vmem(self) -> bool:
+        return self.vmem_bytes() <= self.vmem_limit_mb * 1024 * 1024
+
+    # -- canonical short form (analogue of short_form()/parsers,
+    #    kernel_configs.py:125-146,177-335) ----------------------------------
+
+    def short_form(self) -> str:
+        flags = []
+        if self.use_exp2:
+            flags.append("x2")
+        if self.optimized_softmax:
+            flags.append("os")
+        if self.cast_p_to_dtype:
+            flags.append("cp")
+        if self.reverse_kv:
+            flags.append("rk")
+        if self.causal:
+            flags.append("ca")
+        flag_s = "+".join(flags) if flags else "none"
+        return (
+            f"fa_{self.dtype.short}_q{self.block_q}_kv{self.block_kv}"
+            f"_d{self.d_head}_{self.kv_loop.value}{self.num_kv_buffers}_{flag_s}"
+        )
+
+    def __str__(self) -> str:  # pragma: no cover - cosmetic
+        return self.short_form()
+
+
+_SHORT_RE = re.compile(
+    r"fa_(?P<dtype>[a-z0-9]+)_q(?P<bq>\d+)_kv(?P<bkv>\d+)_d(?P<d>\d+)"
+    r"_(?P<loop>grid|fori)(?P<nbuf>\d+)_(?P<flags>[a-z2+]+)"
+)
+
+
+def parse_short_form(s: str) -> KernelConfig:
+    """Inverse of :meth:`KernelConfig.short_form`.
+
+    The reference needed three parsers (demangled template, typed symbol,
+    table row — ``kernel_configs.py:177-335``) because configs leaked into
+    C++ symbol names; here one canonical string suffices.
+    """
+    m = _SHORT_RE.search(s)
+    if not m:
+        raise ValueError(f"cannot parse kernel short form from {s!r}")
+    flags = set(m.group("flags").split("+")) - {"none"}
+    return KernelConfig(
+        block_q=int(m.group("bq")),
+        block_kv=int(m.group("bkv")),
+        d_head=int(m.group("d")),
+        dtype=DType.from_short(m.group("dtype")),
+        use_exp2="x2" in flags,
+        optimized_softmax="os" in flags,
+        cast_p_to_dtype="cp" in flags,
+        reverse_kv="rk" in flags,
+        causal="ca" in flags,
+        kv_loop=KVLoop(m.group("loop")),
+        num_kv_buffers=int(m.group("nbuf")),
+    )
+
+
+# -- FLOP model (port of kernel_configs.py:61-103) ---------------------------
+
+
+def calc_self_attn_flop(seq_len: int, d_head: int, n_heads: int, batch: int) -> int:
+    """Standard attention FLOPs: ``4*s^2*d + 6*s^2`` per head per sample.
+
+    Matches the reference's ``calc_self_attn_flop`` (``kernel_configs.py:102-103``)
+    so TFLOPs numbers are comparable across frameworks.
+    """
+    return batch * n_heads * (4 * seq_len * seq_len * d_head + 6 * seq_len * seq_len)
+
+
+def calc_tile_softmax_flop(cfg: KernelConfig) -> int:
+    """Per-(Q,KV)-tile softmax FLOPs, variant dependent.
+
+    Port of the reference's optimized/unoptimized tile formulas
+    (``kernel_configs.py:61-65``): the exp2 path saves one multiply per score
+    and folds the running-max subtraction into the exponent scale.
+    """
+    br, bc, d = cfg.block_q, cfg.block_kv, cfg.d_head
+    if cfg.use_exp2:
+        return br * (4 * bc + d + 4)
+    return br * (5 * bc + d + 2)
+
+
+def calc_total_flop(cfg: KernelConfig, seq_len: int, n_heads: int, batch: int) -> int:
+    """Implementation FLOPs (incl. online-softmax overhead) for the whole call.
+
+    Port of ``calc_total_flop`` (``kernel_configs.py:87-99``).
+    """
+    n_q = seq_len // cfg.block_q
+    n_kv = seq_len // cfg.block_kv
+    gemm = 2 * (2 * cfg.block_q * cfg.block_kv * cfg.d_head)  # QK^T and PV
+    per_tile = gemm + calc_tile_softmax_flop(cfg)
+    return batch * n_heads * n_q * n_kv * per_tile
+
+
+def calc_arithmetic_intensity(cfg: KernelConfig, seq_len: int) -> float:
+    """FLOPs per HBM byte for one (batch, head) slice.
+
+    Analogue of the reference's intensity model (``kernel_configs.py:77-84``):
+    Q and O move once; K and V move once per Q block thanks to VMEM reuse
+    within a block (the Pallas pipeline revisits them per Q row of the grid).
+    """
+    b = cfg.dtype.bytes
+    flop = 4 * seq_len * seq_len * cfg.d_head
+    n_q = seq_len // cfg.block_q
+    bytes_moved = (
+        2 * seq_len * cfg.d_head * b  # Q in, O out
+        + 2 * seq_len * cfg.d_head * b * n_q  # K and V per Q block
+    )
+    return flop / bytes_moved
+
+
+# -- autotuning space (port of kernel_configs.py:364-485) --------------------
+
+
+def should_autotune_config(cfg: KernelConfig) -> bool:
+    """Prune the autotune space with resource heuristics.
+
+    The reference pruned on register pressure and CTA occupancy
+    (``kernel_configs.py:364-386``); on TPU the budget is VMEM (pipeline
+    working set must leave headroom for Mosaic) and MXU utilization (tiles
+    smaller than the 128-wide systolic array waste the hot loop).
+    """
+    if not cfg.fits_vmem():
+        return False
+    # S tile must tile the MXU: both dims >= 128 keeps full systolic occupancy.
+    if cfg.block_q < 128 or cfg.block_kv < 128:
+        return False
+    # Degenerate: more than 8 MB of S/P scratch leaves no pipeline headroom.
+    if cfg.block_q * cfg.block_kv * 4 > 8 * 1024 * 1024:
+        return False
+    return True
+
+
+def get_autotuning_kernel_configs(
+    dtypes: Sequence[DType] = (DType.BF16, DType.FP16),
+    d_head: int = 128,
+) -> list[KernelConfig]:
+    """Cartesian config sweep, pruned (analogue of kernel_configs.py:389-423)."""
+    out: list[KernelConfig] = []
+    for dtype, bq, bkv, rev in itertools.product(
+        dtypes, (128, 256, 512), (128, 256, 512, 1024), (False, True)
+    ):
+        cfg = KernelConfig(
+            block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype, reverse_kv=rev
+        )
+        if should_autotune_config(cfg):
+            out.append(cfg)
+    return out
+
+
+def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str, KernelConfig]]:
+    """The TPU optimization ladder, re-derived from the reference's 16 steps.
+
+    Steps that are CUDA-specific (swizzling, ldmatrix register moves, SASS
+    instruction dieting — ladder steps 2, 8-12) have no TPU analogue: VMEM has
+    no bank conflicts and Mosaic owns vreg allocation. Steps that survive map
+    as follows (reference step numbers in parens):
+    """
+    base = dict(dtype=dtype, block_q=128, block_kv=128)
+    ladder = [
+        # (1) base: synchronous un-pipelined fori loop, no exp2, no
+        # specialization. P is still converted to 16-bit before PV — in the
+        # reference that conversion is mandatory for the mma
+        # (load_store.cuh:314), so it is part of every rung here too.
+        ("1_base", KernelConfig(**base, kv_loop=KVLoop.FORI, num_kv_buffers=1,
+                                use_exp2=False, optimized_softmax=False)),
+        # (3-5) pipelined grid loop: Pallas double-buffers HBM->VMEM.
+        ("2_pipelined", KernelConfig(**base, use_exp2=False,
+                                     optimized_softmax=False)),
+        # (6) exp2 softmax with folded scale.
+        ("3_exp2", KernelConfig(**base, use_exp2=True, optimized_softmax=False)),
+        # (10) first-KV-block specialization.
+        ("4_opt_softmax", KernelConfig(**base)),
+        # (13) backwards KV iteration for cross-step locality.
+        ("5_reverse_kv", KernelConfig(**base, reverse_kv=True)),
+        # (3-5, hand-rolled) manual make_async_copy double buffering — the
+        # literal analogue of the reference's cp.async pipeline, to compare
+        # against the Pallas-managed one.
+        ("6_manual_pipeline", KernelConfig(**base, kv_loop=KVLoop.FORI,
+                                           num_kv_buffers=2)),
+        # (7) autotuned block shape (refreshed by tools/autotune.py; this is
+        # the hand-picked default for d128 on v5e).
+        ("7_autotuned", KernelConfig(dtype=dtype, block_q=256, block_kv=512)),
+    ]
+    return ladder
+
+
+def get_kernels_to_build(dtypes: Sequence[DType] = (DType.BF16, DType.FP16)) -> list[KernelConfig]:
+    """Everything the test suite parameterizes over (ref kernel_configs.py:457-462)."""
+    seen: dict[KernelConfig, None] = {}
+    for dt in dtypes:
+        for _, cfg in get_kernel_progression_configs(dt):
+            seen[cfg] = None
+    for cfg in get_autotuning_kernel_configs(dtypes):
+        seen[cfg] = None
+    return list(seen)
+
+
+def get_kernel_configs(kind: str | None = None) -> list[KernelConfig]:
+    """Env-var driven config selection (ref ``KERNELS=``, kernel_configs.py:465-485).
+
+    ``kind`` (or ``$KERNELS``) is one of ``prog``, ``all``, ``tune``, or an
+    explicit ``"<block_q>,<block_kv>"`` pair.
+    """
+    kind = kind or os.environ.get("KERNELS", "prog")
+    if kind == "prog":
+        return [cfg for _, cfg in get_kernel_progression_configs()]
+    if kind == "all":
+        return get_kernels_to_build()
+    if kind == "tune":
+        return get_autotuning_kernel_configs()
+    m = re.fullmatch(r"(\d+),(\d+)", kind)
+    if m:
+        return [KernelConfig(block_q=int(m.group(1)), block_kv=int(m.group(2)))]
+    raise ValueError(f"unknown KERNELS selector: {kind!r}")

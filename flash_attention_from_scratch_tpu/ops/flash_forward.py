@@ -1,0 +1,423 @@
+"""Flash Attention 2 forward pass as a Pallas TPU kernel.
+
+TPU-native re-design of the reference's CUDA kernel stack
+(``src/include/forward_kernel.cuh:85-204`` plus the L0/L1 machinery it sits
+on). The mapping, layer by layer:
+
+- PTX ``mma.m16n8k16`` tile loops (``gemm.cuh:89-123``) -> one
+  ``lax.dot_general`` per block pair on the MXU with fp32 accumulation.
+- ``cp.async`` eager K/V prefetch + double buffering (ladder steps 3-5,
+  ``forward_kernel.cuh:39-64``) -> either the Pallas grid pipeline
+  (``KVLoop.GRID``: KV blocks as the innermost ``arbitrary`` grid dimension,
+  HBM->VMEM copies double-buffered by Mosaic) or a hand-rolled
+  ``make_async_copy`` pipeline (``KVLoop.FORI``).
+- fp32 online softmax with the exp2 trick (``softmax.cuh:15-128``,
+  ``flash_attention.cu:103``) -> fp32 running max/sum in VMEM scratch,
+  scale pre-multiplied by log2(e) so ``exp2`` replaces ``exp``.
+- first-KV-block specialization (ladder step 10, ``softmax.cuh:92-95``) ->
+  ``@pl.when(kv_step == 0)`` branch that skips the rescale.
+- backwards KV iteration (ladder step 13, ``forward_kernel.cuh:179-184``) ->
+  reversed BlockSpec index map.
+- smem swizzling / ldmatrix / SASS dieting (ladder steps 2, 8-12) have no TPU
+  analogue: VMEM has no bank conflicts and Mosaic owns register allocation.
+
+Inputs are (batch, heads, seq, d_head); non-causal by default like the
+reference, with causal masking as an extension.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .configs import DType, KernelConfig, KVLoop, calc_self_attn_flop
+
+__all__ = ["make_flash_forward", "flash_forward"]
+
+LOG2E = math.log2(math.e)
+MASK_VALUE = -1e30  # large-negative instead of -inf: avoids inf-inf NaNs
+_STATS_LANES = 128  # row statistics kept lane-broadcast for layout friendliness
+
+
+def _mm_precision(cfg: KernelConfig):
+    """fp32 operands need HIGHEST or the MXU silently rounds them to bf16."""
+    return jax.lax.Precision.HIGHEST if cfg.dtype == DType.FP32 else None
+
+
+def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_prev, l_prev, acc_prev):
+    """One online-softmax update given the raw S tile (fp32).
+
+    Inputs/outputs are values (not refs): shared by both kernel variants.
+    ``m_prev/l_prev`` are (block_q, _STATS_LANES); ``acc_prev`` is
+    (block_q, d_head); ``s`` is (block_q, block_kv).
+    Returns (m_new, l_new, acc_new). ``m_prev`` may be None, meaning "first
+    visible block" (the ladder-step-10 specialization: no rescale).
+    """
+    if cfg.use_exp2:
+        s = s * (scale * LOG2E)
+        exp_fn = jnp.exp2
+    else:
+        s = s * scale
+        exp_fn = jnp.exp
+
+    if cfg.causal:
+        q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
+
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+
+    if m_prev is None:
+        m_new_b = jnp.broadcast_to(m_cur, (s.shape[0], _STATS_LANES))
+        p = exp_fn(s - m_cur)
+        l_new = jnp.broadcast_to(jnp.sum(p, axis=-1, keepdims=True), m_new_b.shape)
+        p_mm = p.astype(cfg.dtype.jnp_dtype) if cfg.cast_p_to_dtype else p
+        acc = jax.lax.dot_general(
+            p_mm, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )
+        return m_new_b, l_new, acc
+
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    m_row = m_new[:, :1]
+    p = exp_fn(s - m_row)
+    alpha = exp_fn(m_prev - m_new)  # (block_q, lanes); rows identical
+    l_new = l_prev * alpha + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+    )
+    p_mm = p.astype(cfg.dtype.jnp_dtype) if cfg.cast_p_to_dtype else p
+    pv = jax.lax.dot_general(
+        p_mm, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+    )
+    acc = acc_prev * alpha[:, :1] + pv
+    return m_new, l_new, acc
+
+
+# ---------------------------------------------------------------------------
+# GRID variant: KV blocks as innermost grid dimension (Pallas auto-pipeline).
+# ---------------------------------------------------------------------------
+
+
+def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
+                 q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+    kv_step = pl.program_id(3)
+    qi = pl.program_id(2)
+    is_first = kv_step == 0
+    is_last = kv_step == num_kv - 1
+
+    # Actual KV block index in sequence order (reverse_kv flips the walk).
+    kv_block = (num_kv - 1 - kv_step) if cfg.reverse_kv else kv_step
+    kv_start = kv_block * cfg.block_kv
+    q_span = qi * cfg.block_q
+
+    # For causal masking, blocks strictly above the diagonal contribute
+    # nothing: predicate away their compute (the grid still visits them —
+    # FORI is the variant with a true early exit).
+    visible = True
+    if cfg.causal:
+        visible = kv_start <= q_span + cfg.block_q - 1
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )
+
+        if cfg.optimized_softmax:
+            @pl.when(is_first)
+            def _():
+                m, l, acc = _attend_block(
+                    cfg, scale, s, v, q_span, kv_start, None, None, None
+                )
+                m_ref[...] = m
+                l_ref[...] = l
+                acc_ref[...] = acc
+
+            @pl.when(jnp.logical_not(is_first))
+            def _():
+                m, l, acc = _attend_block(
+                    cfg, scale, s, v, q_span, kv_start,
+                    m_ref[...], l_ref[...], acc_ref[...],
+                )
+                m_ref[...] = m
+                l_ref[...] = l
+                acc_ref[...] = acc
+        else:
+            @pl.when(is_first)
+            def _():
+                m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+                l_ref[...] = jnp.zeros_like(l_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            m, l, acc = _attend_block(
+                cfg, scale, s, v, q_span, kv_start,
+                m_ref[...], l_ref[...], acc_ref[...],
+            )
+            m_ref[...] = m
+            l_ref[...] = l
+            acc_ref[...] = acc
+
+    if cfg.causal:
+        # First processed block (kv_block 0, since causal forbids reverse_kv)
+        # is always visible, so scratch is always initialized before use.
+        @pl.when(visible)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(is_last)
+    def _():
+        # Final normalization (ref softmax.cuh:107-128) + downcast + store.
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
+                     seq_q: int, seq_kv: int, interpret: bool):
+    num_q = seq_q // cfg.block_q
+    num_kv = seq_kv // cfg.block_kv
+    d = cfg.d_head
+
+    def kv_index(b, h, qi, ki):
+        blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
+        return (b, h, blk, 0)
+
+    grid = (batch, heads, num_q, num_kv)
+    kernel = functools.partial(_grid_kernel, cfg, scale, num_kv)
+    out_dtype = cfg.resolved_out_dtype.jnp_dtype
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
+                               lambda b, h, qi, ki: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.block_q, d), jnp.float32),            # O accumulator
+            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),  # running max m
+            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),  # running sum l
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=calc_self_attn_flop(seq_q, d, heads, batch),
+            bytes_accessed=(batch * heads * (2 * seq_q + 2 * seq_kv * num_q)
+                            * d * cfg.dtype.bytes),
+            transcendentals=batch * heads * seq_q * seq_kv,
+        ),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# FORI variant: one grid step per Q block; hand-rolled KV DMA pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int,
+                 q_ref, k_hbm, v_hbm, o_ref,
+                 k_buf, v_buf, sems):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+    q_span = qi * cfg.block_q
+    nbuf = max(cfg.num_kv_buffers, 1)
+
+    if cfg.causal:
+        # True early exit: only visible KV blocks are ever visited (the FORI
+        # variant's advantage over GRID masking).
+        n_steps = jnp.minimum(
+            (q_span + cfg.block_q + cfg.block_kv - 1) // cfg.block_kv, num_kv
+        )
+    else:
+        n_steps = num_kv
+
+    def kv_block_of(step):
+        return (num_kv - 1 - step) if cfg.reverse_kv else step
+
+    def dma(slot, step):
+        blk = kv_block_of(step)
+        start = blk * cfg.block_kv
+        k_dma = pltpu.make_async_copy(
+            k_hbm.at[bi, hi, pl.ds(start, cfg.block_kv), :],
+            k_buf.at[slot], sems.at[0, slot],
+        )
+        v_dma = pltpu.make_async_copy(
+            v_hbm.at[bi, hi, pl.ds(start, cfg.block_kv), :],
+            v_buf.at[slot], sems.at[1, slot],
+        )
+        return k_dma, v_dma
+
+    q = q_ref[0, 0]
+
+    if nbuf == 1:
+        # Ladder step 1 "base": fully synchronous copies, no overlap
+        # (analogue of the reference's non-async_copy config,
+        # previous_kernels/src_1-7).
+        def body(step, carry):
+            m, l, acc = carry
+            k_dma, v_dma = dma(0, step)
+            k_dma.start(); v_dma.start()
+            k_dma.wait(); v_dma.wait()
+            s = jax.lax.dot_general(
+                q, k_buf[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+            )
+            return _attend_block(
+                cfg, scale, s, v_buf[0], q_span,
+                kv_block_of(step) * cfg.block_kv, m, l, acc,
+            )
+    else:
+        # Double(+)-buffered: kick off block step+1 while computing step
+        # (ladder steps 3-4: eager loads, LD/ST interleaved with compute).
+        k0, v0 = dma(0, 0)
+        k0.start(); v0.start()
+
+        def body(step, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(step, nbuf)
+            next_slot = jax.lax.rem(step + 1, nbuf)
+
+            @pl.when(step + 1 < n_steps)
+            def _():
+                kn, vn = dma(next_slot, step + 1)
+                kn.start(); vn.start()
+
+            kc, vc = dma(slot, step)
+            kc.wait(); vc.wait()
+            s = jax.lax.dot_general(
+                q, k_buf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+            )
+            return _attend_block(
+                cfg, scale, s, v_buf[slot], q_span,
+                kv_block_of(step) * cfg.block_kv, m, l, acc,
+            )
+
+    init = (
+        jnp.full((cfg.block_q, _STATS_LANES), MASK_VALUE, jnp.float32),
+        jnp.zeros((cfg.block_q, _STATS_LANES), jnp.float32),
+        jnp.zeros((cfg.block_q, cfg.d_head), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, n_steps, body, init)
+    o_ref[0, 0] = (acc / l[:, :1]).astype(o_ref.dtype)
+
+
+def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
+                     seq_q: int, seq_kv: int, interpret: bool):
+    num_q = seq_q // cfg.block_q
+    num_kv = seq_kv // cfg.block_kv
+    d = cfg.d_head
+    nbuf = max(cfg.num_kv_buffers, 1)
+    kernel = functools.partial(_fori_kernel, cfg, scale, num_kv)
+    out_dtype = cfg.resolved_out_dtype.jnp_dtype
+
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, heads, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # V likewise
+        ],
+        out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
+                               lambda b, h, qi: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, cfg.block_kv, d), cfg.dtype.jnp_dtype),
+            pltpu.VMEM((nbuf, cfg.block_kv, d), cfg.dtype.jnp_dtype),
+            pltpu.SemaphoreType.DMA((2, nbuf)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public builders.
+# ---------------------------------------------------------------------------
+
+
+def _validate(cfg: KernelConfig, q, k, v):
+    """Input validation (analogue of flash_attention.cu:38-58)."""
+    if q.ndim != 4:
+        raise ValueError(f"expected (batch, heads, seq, d_head), got {q.shape}")
+    if k.shape != v.shape:
+        raise ValueError(f"K/V shape mismatch: {k.shape} vs {v.shape}")
+    if q.shape[0] != k.shape[0] or q.shape[1] != k.shape[1] or q.shape[3] != k.shape[3]:
+        raise ValueError(f"Q/K shape mismatch: {q.shape} vs {k.shape}")
+    if q.shape[3] != cfg.d_head:
+        raise ValueError(f"d_head mismatch: config {cfg.d_head}, tensors {q.shape[3]}")
+    if jnp.dtype(q.dtype) != jnp.dtype(cfg.dtype.jnp_dtype):
+        raise ValueError(f"dtype mismatch: config {cfg.dtype}, tensors {q.dtype}")
+    if q.shape[2] % cfg.block_q != 0:
+        raise ValueError(f"seq_q {q.shape[2]} not divisible by block_q {cfg.block_q}")
+    if k.shape[2] % cfg.block_kv != 0:
+        raise ValueError(f"seq_kv {k.shape[2]} not divisible by block_kv {cfg.block_kv}")
+
+
+def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
+                       seq_kv: int, scale: float | None = None,
+                       interpret: bool | None = None):
+    """Build the pallas_call for one (config, shape) specialization.
+
+    The analogue of one template instantiation in the reference's generated
+    dispatch table (``flash_kernels.cuh:14-186``); callers should go through
+    :func:`flash_forward` / ``dispatch.forward`` which cache these.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(cfg.d_head)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if cfg.kv_loop == KVLoop.GRID:
+        return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret)
+    return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret)
+
+
+@functools.lru_cache(maxsize=512)
+def _cached_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
+                    seq_kv: int, scale: float, interpret: bool):
+    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret)
+    return jax.jit(lambda q, k, v: call(q, k, v))
+
+
+def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
+                  scale: float | None = None, interpret: bool | None = None):
+    """Flash attention forward: softmax(Q K^T * scale) V, fused on the MXU.
+
+    Public entry point (analogue of ``flash_attention.forward``,
+    ``flash_attention/__init__.py:7-11``). Inputs (batch, heads, seq, d_head).
+    """
+    if cfg is None:
+        cfg = KernelConfig(dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1])
+    _validate(cfg, q, k, v)
+    if scale is None:
+        scale = 1.0 / math.sqrt(cfg.d_head)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fn = _cached_forward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                         float(scale), interpret)
+    return fn(q, k, v)

@@ -1,0 +1,138 @@
+"""Pure-jnp reference attention: the numerics oracle.
+
+Analogue of the reference's einops oracle ``py_flash_attention``
+(``py/flash_helpers/test/utils.py:137-162``), computed twice — once in the
+native 16-bit dtype and once upcast to fp32 — to drive the adaptive tolerance
+rule (``test/test.py:57-61``). Also provides a block-recurrence mirror of the
+Pallas kernel for step-by-step debugging (analogue of
+``tools/debug/debug.py:40-153``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "reference_attention",
+    "reference_pair",
+    "block_flash_attention",
+]
+
+
+@partial(jax.jit, static_argnames=("causal", "scale_override"))
+def reference_attention(q, k, v, *, causal: bool = False, scale_override=None):
+    """Straightforward softmax(QK^T * scale) V in the input dtype.
+
+    Shapes: q, k, v are (batch, heads, seq, d_head). Matmuls run in the input
+    dtype with fp32 accumulation (``preferred_element_type``), softmax in the
+    upcast dtype — mirroring how the reference's 16-bit torch einsum behaves.
+    """
+    d = q.shape[-1]
+    scale = scale_override if scale_override is not None else 1.0 / math.sqrt(d)
+    # precision=HIGHEST so the fp32 oracle is a true fp32 oracle on TPU (the
+    # default TPU matmul precision would silently round f32 operands to bf16).
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    s = s * scale
+    if causal:
+        q_len, k_len = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k=k_len - q_len)
+        s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    ).astype(q.dtype)
+
+
+def reference_pair(q, k, v, *, causal: bool = False):
+    """(native-dtype output, fp32 output) for the adaptive tolerance rule.
+
+    Port of the double-oracle setup in ``test/utils.py:137-162``: the fp32
+    pass upcasts the same inputs, so ``|ref16 - ref32|`` measures pure
+    rounding error of the dtype at this problem size.
+    """
+    out_native = reference_attention(q, k, v, causal=causal)
+    out_fp32 = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), causal=causal
+    )
+    return out_native, out_fp32
+
+
+def block_flash_attention(
+    q,
+    k,
+    v,
+    *,
+    block_q: int = 128,
+    block_kv: int = 128,
+    use_exp2: bool = True,
+    reverse_kv: bool = False,
+    collect_trace: bool = False,
+):
+    """Block-by-block online-softmax recurrence in plain jnp (fp32 stats).
+
+    Mirrors exactly what the Pallas kernel computes per (q_block, kv_block)
+    iteration — the TPU analogue of the PyTorch step-by-step debugger
+    (``tools/debug/debug.py:40-153``, which mirrored warp 2's view with
+    reversed block order). With ``collect_trace=True`` returns every
+    intermediate (S, m, l, P, O_partial) per iteration for diffing against
+    ``pl.debug_print`` / interpret-mode dumps.
+
+    Runs in plain Python loops (not jitted) — it is a debugging tool.
+    """
+    b, h, s_q, d = q.shape
+    s_kv = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    n_q = s_q // block_q
+    n_kv = s_kv // block_kv
+    out = jnp.zeros((b, h, s_q, d), jnp.float32)
+    trace = []
+
+    kv_order = range(n_kv - 1, -1, -1) if reverse_kv else range(n_kv)
+    for qi in range(n_q):
+        q_blk = qf[:, :, qi * block_q : (qi + 1) * block_q]
+        m = jnp.full((b, h, block_q, 1), -jnp.inf, jnp.float32)
+        l = jnp.zeros((b, h, block_q, 1), jnp.float32)
+        acc = jnp.zeros((b, h, block_q, d), jnp.float32)
+        for ki in kv_order:
+            k_blk = kf[:, :, ki * block_kv : (ki + 1) * block_kv]
+            v_blk = vf[:, :, ki * block_kv : (ki + 1) * block_kv]
+            s_blk = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_blk, k_blk,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if use_exp2:
+                s_blk = s_blk * (scale * math.log2(math.e))
+                m_new = jnp.maximum(m, s_blk.max(-1, keepdims=True))
+                p = jnp.exp2(s_blk - m_new)
+                alpha = jnp.exp2(m - m_new)
+            else:
+                s_blk = s_blk * scale
+                m_new = jnp.maximum(m, s_blk.max(-1, keepdims=True))
+                p = jnp.exp(s_blk - m_new)
+                alpha = jnp.exp(m - m_new)
+            l = l * alpha + p.sum(-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_blk, precision=jax.lax.Precision.HIGHEST
+            )
+            m = m_new
+            if collect_trace:
+                trace.append(
+                    dict(q_block=qi, kv_block=ki, S=s_blk, m=m, l=l, P=p, O=acc)
+                )
+        out = out.at[:, :, qi * block_q : (qi + 1) * block_q].set(acc / l)
+    result = out.astype(q.dtype)
+    if collect_trace:
+        return result, trace
+    return result

