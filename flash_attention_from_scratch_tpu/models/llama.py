@@ -1,0 +1,174 @@
+"""Llama-3-family transformer built on the flash-attention kernel.
+
+Extension beyond the reference (which is a single attention kernel with no
+model; see BASELINE north star): a functional, pjit-friendly Llama
+implementation — RMSNorm, RoPE, GQA attention through
+``ops.flash_forward``, SwiGLU MLP — used as the flagship integration target
+for quantized decode and multi-chip sharding. Pure pytree params (no flax
+module state) so sharding is a pytree of PartitionSpecs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.autodiff import flash_attention
+from ..ops.configs import DType, KernelConfig
+
+__all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 512
+    n_layers: int = 2
+    n_heads: int = 4
+    n_kv_heads: int = 2
+    d_head: int = 128
+    hidden_dim: int = 1408
+    rope_theta: float = 500000.0
+    norm_eps: float = 1e-5
+    dtype: DType = DType.BF16
+    # Attention kernel config; block sizes are clamped to the sequence at
+    # call time so tiny dry-run shapes work.
+    block_q: int = 256
+    block_kv: int = 512
+
+    def attn_config(self, seq_len: int) -> KernelConfig:
+        def largest_divisor_block(limit: int, quantum: int) -> int:
+            b = min(limit, seq_len)
+            b -= b % quantum
+            while b >= quantum and seq_len % b != 0:
+                b -= quantum
+            if b < quantum:
+                raise ValueError(
+                    f"seq_len {seq_len} is not a multiple of {quantum}; pad the "
+                    f"sequence before calling the model"
+                )
+            return b
+
+        return KernelConfig(
+            block_q=largest_divisor_block(self.block_q, 8),
+            block_kv=largest_divisor_block(self.block_kv, 128),
+            d_head=self.d_head,
+            dtype=self.dtype,
+            causal=True,
+        )
+
+
+LLAMA3_8B = LlamaConfig(
+    vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+    d_head=128, hidden_dim=14336,
+)
+
+
+def _dense_init(key, shape, dtype):
+    fan_in = shape[0]
+    return (jax.random.normal(key, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+
+def init_params(cfg: LlamaConfig, key) -> dict:
+    dt = cfg.dtype.jnp_dtype
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    params = {
+        "embed": _dense_init(keys[0], (cfg.vocab_size, cfg.dim), dt),
+        "final_norm": jnp.ones((cfg.dim,), dt),
+        "lm_head": _dense_init(keys[1], (cfg.dim, cfg.vocab_size), dt),
+        "layers": [],
+    }
+    q_dim = cfg.n_heads * cfg.d_head
+    kv_dim = cfg.n_kv_heads * cfg.d_head
+    for i in range(cfg.n_layers):
+        k = jax.random.split(keys[i + 2], 7)
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.dim,), dt),
+            "wq": _dense_init(k[0], (cfg.dim, q_dim), dt),
+            "wk": _dense_init(k[1], (cfg.dim, kv_dim), dt),
+            "wv": _dense_init(k[2], (cfg.dim, kv_dim), dt),
+            "wo": _dense_init(k[3], (q_dim, cfg.dim), dt),
+            "mlp_norm": jnp.ones((cfg.dim,), dt),
+            "w_gate": _dense_init(k[4], (cfg.dim, cfg.hidden_dim), dt),
+            "w_up": _dense_init(k[5], (cfg.dim, cfg.hidden_dim), dt),
+            "w_down": _dense_init(k[6], (cfg.hidden_dim, cfg.dim), dt),
+        })
+    return params
+
+
+def rms_norm(x, weight, eps):
+    x32 = x.astype(jnp.float32)
+    norm = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (norm * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(seq_len: int, d_head: int, theta: float):
+    """Rotary embedding cos/sin tables, fp32, shape (seq, d_head//2)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d_head, 2, dtype=jnp.float32) / d_head))
+    pos = jnp.arange(seq_len, dtype=jnp.float32)
+    angles = pos[:, None] * inv_freq[None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x, cos, sin):
+    """x: (batch, heads, seq, d_head); rotate-half convention."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
+    b, s, _ = x.shape
+    q = (x @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    k = (x @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    v = (x @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    # GQA: broadcast KV heads to Q heads. (A grouped-query-native kernel is
+    # the decode-path optimization; for prefill the repeat is HBM-cheap
+    # relative to the O(s^2) attention.)
+    group = cfg.n_heads // cfg.n_kv_heads
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    if mesh is not None:
+        from ..parallel.sharded_attention import shard_mapped_attention
+
+        out = shard_mapped_attention(q, k, v, cfg.attn_config(s), mesh, interpret)
+    else:
+        out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
+    return out @ layer["wo"]
+
+
+def _mlp(layer, x):
+    gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+
+
+def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
+    """tokens (batch, seq) int32 -> logits (batch, seq, vocab) fp32."""
+    x = params["embed"][tokens]
+    cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta)
+    for layer in params["layers"]:
+        x = x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
+                           cfg, cos, sin, interpret=interpret, mesh=mesh)
+        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def loss_fn(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
+    """Next-token cross-entropy (mean over all positions)."""
+    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret, mesh=mesh)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)

@@ -1,0 +1,45 @@
+"""Multi-chip attention: shard_map over (batch, heads) + ring attention hooks.
+
+GSPMD cannot partition a ``pallas_call`` custom call, so the kernel is
+wrapped in ``shard_map``: batch over the data axis, heads over the model
+axis. Attention is embarrassingly parallel over both, so the forward needs
+no collectives; the surrounding dense layers' all-reduces are inserted by
+GSPMD from the param specs (``mesh.llama_param_specs``).
+
+This is a new TPU-first subsystem — the reference has no distributed code
+(SURVEY.md §5.7/5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.autodiff import flash_attention
+from ..ops.configs import KernelConfig
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = ["shard_mapped_attention"]
+
+
+def shard_mapped_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
+                           interpret: bool | None = None):
+    """Flash attention with batch sharded over dp and heads over tp.
+
+    Inputs are (batch, heads, seq, d_head) global arrays; each device runs
+    the single-chip kernel on its (batch/dp, heads/tp) shard.
+    """
+    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    def _local(q, k, v):
+        return flash_attention(q, k, v, cfg, interpret)
+
+    return _local(q, k, v)
