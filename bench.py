@@ -51,8 +51,8 @@ def main():
     batch = BATCH_SIZE_FOR_SEQ_LEN[seq]
     q, k, v = generate_qkv(seq, d_head=d_head, n_heads=heads, batch=batch,
                            dtype=jnp.bfloat16)
-    cfg = fa.KernelConfig()
-    secs = median_runtime(lambda: fa.forward(q, k, v, cfg), warmup=3, iters=7)
+    cfg = fa.KernelConfig.for_shape(seq, seq)
+    secs = median_runtime(lambda: fa.forward(q, k, v, cfg), warmup=3, iters=5)
     flops = fa.calc_self_attn_flop(seq, d_head, heads, batch)
     tflops = flops / secs / 1e12
     sol = chip_sol()

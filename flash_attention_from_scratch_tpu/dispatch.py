@@ -48,15 +48,44 @@ def forward_timed(q, k, v, cfg: KernelConfig | None = None, *, scale=None,
     return out, runtime
 
 
-def median_runtime(fn, *, warmup: int = 2, iters: int = 10, inner: int = 5) -> float:
-    """Median seconds per ``fn()`` call, amortized over ``inner`` dispatches.
+import functools
 
-    Each sample issues ``inner`` back-to-back dispatches and fences once with
-    a host readback, so per-sample sync overhead (one tunnel round trip) is
-    amortized; the median over ``iters`` samples is robust to host hiccups.
+
+@functools.lru_cache(maxsize=1)
+def sync_overhead() -> float:
+    """Median cost of one host-readback fence (measured ~35-44 ms through the
+    axon tunnel — larger than many kernels, so it must be calibrated out)."""
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    sync(trivial(x))
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        sync(trivial(x))
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None) -> float:
+    """Median device seconds per ``fn()`` call.
+
+    Each sample enqueues ``inner`` back-to-back dispatches and fences once;
+    the calibrated fence cost (:func:`sync_overhead`) is subtracted from the
+    sample. ``inner`` is auto-chosen so the fence bias is <~2% even for
+    microsecond kernels. Median over ``iters`` samples resists host hiccups.
     """
     for _ in range(warmup):
         sync(fn())
+    ovh = sync_overhead()
+    if inner is None:
+        # Rough single sample to size the batch.
+        t0 = time.perf_counter()
+        sync(fn())
+        rough = max(time.perf_counter() - t0 - ovh, 1e-5)
+        inner = int(min(max(10 * ovh / rough, 4), 64))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -64,6 +93,6 @@ def median_runtime(fn, *, warmup: int = 2, iters: int = 10, inner: int = 5) -> f
         for _ in range(inner):
             r = fn()
         sync(r)
-        times.append((time.perf_counter() - t0) / inner)
+        times.append((time.perf_counter() - t0 - ovh) / inner)
     times.sort()
-    return times[len(times) // 2]
+    return max(times[len(times) // 2], 1e-9)

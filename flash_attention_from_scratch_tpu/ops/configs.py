@@ -109,9 +109,12 @@ class KernelConfig:
     like the reference's template instantiations.
     """
 
-    # Tile shapes (ladder step 7: autotuning domain).
-    block_q: int = 256
-    block_kv: int = 512
+    # Tile shapes (ladder step 7: autotuning domain). Defaults are the
+    # autotuned v5e values at seq 4096 (profiles/autotune_r1.csv): large KV
+    # blocks amortize the per-grid-step softmax bookkeeping against more MXU
+    # work per step.
+    block_q: int = 512
+    block_kv: int = 1024
     d_head: int = 128
 
     # Element types.
@@ -149,6 +152,28 @@ class KernelConfig:
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
             )
+
+    @classmethod
+    def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int = 512,
+                  preferred_kv: int = 4096, **kwargs) -> "KernelConfig":
+        """Best-known config clamped so the blocks tile (seq_q, seq_kv).
+
+        Blocks shrink to the largest hardware-legal divisor of the sequence
+        (the runtime analogue of the reference's seq %% B_r == 0 input check,
+        ``flash_attention.cu:52-58`` — but auto-adapting instead of erroring).
+        """
+
+        def clamp(pref: int, seq: int, quantum: int) -> int:
+            b = min(pref, seq)
+            b -= b % quantum
+            while b > quantum and seq % b:
+                b -= quantum
+            if b < quantum or seq % b:
+                raise ValueError(f"seq {seq} not tileable (quantum {quantum})")
+            return b
+
+        return cls(block_q=clamp(preferred_q, seq_q, 8),
+                   block_kv=clamp(preferred_kv, seq_kv, 128), **kwargs)
 
     # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,
     #    flash_attention.cuh:54-65) ------------------------------------------
@@ -316,7 +341,7 @@ def get_autotuning_kernel_configs(
     """Cartesian config sweep, pruned (analogue of kernel_configs.py:389-423)."""
     out: list[KernelConfig] = []
     for dtype, bq, bkv, rev in itertools.product(
-        dtypes, (128, 256, 512), (128, 256, 512, 1024), (False, True)
+        dtypes, (128, 256, 512, 1024), (256, 512, 1024, 2048, 4096), (False, True)
     ):
         cfg = KernelConfig(
             block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype, reverse_kv=rev
@@ -356,9 +381,9 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
         # against the Pallas-managed one.
         ("6_manual_pipeline", KernelConfig(**base, kv_loop=KVLoop.FORI,
                                            num_kv_buffers=2)),
-        # (7) autotuned block shape (refreshed by tools/autotune.py; this is
-        # the hand-picked default for d128 on v5e).
-        ("7_autotuned", KernelConfig(dtype=dtype, block_q=256, block_kv=512)),
+        # (7) autotuned block shape (refreshed by tools/autotune.py; v5e
+        # best at seq 4096 per profiles/autotune_r1.csv).
+        ("7_autotuned", KernelConfig(dtype=dtype, block_q=512, block_kv=1024)),
     ]
     return ladder
 

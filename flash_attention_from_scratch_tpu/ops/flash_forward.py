@@ -182,7 +182,7 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
 
 
 def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
-                     seq_q: int, seq_kv: int, interpret: bool):
+                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
@@ -224,6 +224,7 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
             transcendentals=batch * heads * seq_q * seq_kv,
         ),
         interpret=interpret,
+        debug=debug,
     )
 
 
@@ -322,7 +323,7 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int,
 
 
 def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
-                     seq_q: int, seq_kv: int, interpret: bool):
+                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
@@ -353,6 +354,7 @@ def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
             vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
+        debug=debug,
     )
 
 
@@ -381,7 +383,7 @@ def _validate(cfg: KernelConfig, q, k, v):
 
 def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                        seq_kv: int, scale: float | None = None,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, debug: bool = False):
     """Build the pallas_call for one (config, shape) specialization.
 
     The analogue of one template instantiation in the reference's generated
@@ -393,8 +395,10 @@ def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if cfg.kv_loop == KVLoop.GRID:
-        return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret)
-    return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret)
+        return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
+                                debug)
+    return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
+                            debug)
 
 
 @functools.lru_cache(maxsize=512)
@@ -412,7 +416,10 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
     ``flash_attention/__init__.py:7-11``). Inputs (batch, heads, seq, d_head).
     """
     if cfg is None:
-        cfg = KernelConfig(dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1])
+        cfg = KernelConfig.for_shape(
+            q.shape[2], k.shape[2],
+            dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
+        )
     _validate(cfg, q, k, v)
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)

@@ -1,0 +1,221 @@
+"""Flash attention with quantized K/V: dequant fused into the matmuls.
+
+Extension beyond the reference (BASELINE north star): the K/V cache is
+stored INT8 / packed INT4 / FP8-e4m3 (2-4x HBM saving — attention at decode
+is HBM-bound, so this is direct speedup headroom), and dequantization never
+touches HBM:
+
+- K scale folds into the softmax scale: S = (Q K_q^T) * (sm_scale * k_scale),
+  one scalar multiply already present in the online softmax;
+- V scale folds into the final normalization: O = (acc / l) * v_scale;
+- INT4 uses half-split nibble packing (see ``quant.py``) so unpacking is two
+  shift ops and two contiguous half-d matmuls — no stride-2 relayout;
+- value upcast is a single VPU convert (int8/fp8 -> bf16) per block.
+
+The kernel reuses the online-softmax machinery of ``flash_forward`` (grid
+variant: KV blocks as innermost grid dim, Pallas-pipelined).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .configs import DType, KernelConfig, calc_self_attn_flop
+from .flash_forward import MASK_VALUE, _STATS_LANES, _attend_block
+from .quant import QTensor, unpack_int4_halves
+
+__all__ = ["flash_forward_quantized"]
+
+
+def _load_kv_block(ref, mode: str, compute_dtype):
+    """Materialize a (block_kv, d) compute-dtype block from quantized storage."""
+    if mode == "int4":
+        lo, hi = unpack_int4_halves(ref[0, 0], compute_dtype)
+        return lo, hi
+    return ref[0, 0].astype(compute_dtype), None
+
+
+def _quant_kernel(cfg: KernelConfig, mode: str, scale: float, num_kv: int,
+                  q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                  acc_ref, m_ref, l_ref):
+    kv_step = pl.program_id(3)
+    qi = pl.program_id(2)
+    is_first = kv_step == 0
+    is_last = kv_step == num_kv - 1
+    kv_block = (num_kv - 1 - kv_step) if cfg.reverse_kv else kv_step
+    kv_start = kv_block * cfg.block_kv
+    q_span = qi * cfg.block_q
+
+    visible = True
+    if cfg.causal:
+        visible = kv_start <= q_span + cfg.block_q - 1
+
+    compute_dtype = cfg.dtype.jnp_dtype
+    # Scales live in SMEM as the full (batch, heads) table (TPU SMEM blocks
+    # must match the array dims); index by grid position.
+    k_scale = ks_ref[pl.program_id(0), pl.program_id(1)]
+    v_scale = vs_ref[pl.program_id(0), pl.program_id(1)]
+    # Fold the K quantization scale into the softmax scale (one multiply that
+    # the online softmax does anyway).
+    eff_scale = scale * k_scale
+
+    def compute():
+        q = q_ref[0, 0]
+        k_lo, k_hi = _load_kv_block(k_ref, mode, compute_dtype)
+        if k_hi is not None:  # int4: two contiguous half-d matmuls
+            d2 = cfg.d_head // 2
+            s = jax.lax.dot_general(
+                q[:, :d2], k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q[:, d2:], k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            s = jax.lax.dot_general(
+                q, k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        v_lo, v_hi = _load_kv_block(v_ref, mode, compute_dtype)
+        v = jnp.concatenate([v_lo, v_hi], axis=-1) if v_hi is not None else v_lo
+
+        if cfg.optimized_softmax:
+            @pl.when(is_first)
+            def _():
+                m, l, acc = _attend_block(
+                    cfg, eff_scale, s, v, q_span, kv_start, None, None, None
+                )
+                m_ref[...] = m
+                l_ref[...] = l
+                acc_ref[...] = acc
+
+            @pl.when(jnp.logical_not(is_first))
+            def _():
+                m, l, acc = _attend_block(
+                    cfg, eff_scale, s, v, q_span, kv_start,
+                    m_ref[...], l_ref[...], acc_ref[...],
+                )
+                m_ref[...] = m
+                l_ref[...] = l
+                acc_ref[...] = acc
+        else:
+            @pl.when(is_first)
+            def _():
+                m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+                l_ref[...] = jnp.zeros_like(l_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+
+            m, l, acc = _attend_block(
+                cfg, eff_scale, s, v, q_span, kv_start,
+                m_ref[...], l_ref[...], acc_ref[...],
+            )
+            m_ref[...] = m
+            l_ref[...] = l
+            acc_ref[...] = acc
+
+    if cfg.causal:
+        @pl.when(visible)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(is_last)
+    def _():
+        # V quantization scale folds into the final normalization.
+        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1] * v_scale).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
+                      scale: float, batch: int, heads: int,
+                      seq_q: int, seq_kv: int, interpret: bool):
+    num_q = seq_q // cfg.block_q
+    num_kv = seq_kv // cfg.block_kv
+    d = cfg.d_head
+    d_store = d // 2 if mode == "int4" else d
+    store_dtype = jnp.dtype(store_dtype_name)
+
+    def kv_index(b, h, qi, ki):
+        blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
+        return (b, h, blk, 0)
+
+    kernel = functools.partial(_quant_kernel, cfg, mode, scale, num_kv)
+    call = pl.pallas_call(
+        kernel,
+        grid=(batch, heads, num_q, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cfg.block_kv, d_store), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cfg.block_kv, d_store), kv_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
+                               lambda b, h, qi, ki: (b, h, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, heads, seq_q, d), cfg.resolved_out_dtype.jnp_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.block_q, d), jnp.float32),
+            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),
+            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=calc_self_attn_flop(seq_q, d, heads, batch),
+            bytes_accessed=batch * heads * (
+                2 * seq_q * d * cfg.dtype.bytes
+                + 2 * seq_kv * d_store * store_dtype.itemsize * num_q
+            ),
+            transcendentals=batch * heads * seq_q * seq_kv,
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(lambda q, kv_, vv_, ks, vs: call(q, kv_, vv_, ks, vs))
+
+
+def flash_forward_quantized(q, k: QTensor, v: QTensor,
+                            cfg: KernelConfig | None = None, *,
+                            scale: float | None = None,
+                            interpret: bool | None = None):
+    """softmax(Q K^T * scale) V with quantized K/V and fused dequant.
+
+    ``q`` is a dense (b, h, s, d) array in ``cfg.dtype``; ``k``/``v`` are
+    :class:`QTensor` (same mode). Scales must be per-(batch, head).
+    """
+    if k.mode != v.mode:
+        raise ValueError(f"K/V quant modes differ: {k.mode} vs {v.mode}")
+    if cfg is None:
+        cfg = KernelConfig(dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1])
+    if scale is None:
+        scale = 1.0 / math.sqrt(cfg.d_head)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    batch, heads, seq_q, d = q.shape
+    seq_kv = k.seq_len
+    if seq_q % cfg.block_q or seq_kv % cfg.block_kv:
+        raise ValueError(
+            f"seq ({seq_q}, {seq_kv}) not tileable by ({cfg.block_q}, {cfg.block_kv})"
+        )
+    fn = _build_quant_call(cfg, k.mode, str(k.values.dtype), float(scale),
+                           batch, heads, seq_q, seq_kv, interpret)
+    ks = k.scales.astype(jnp.float32)
+    vs = v.scales.astype(jnp.float32)
+    return fn(q, k.values, v.values, ks, vs)

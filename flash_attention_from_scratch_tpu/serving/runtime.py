@@ -1,0 +1,142 @@
+"""ctypes bindings for the native paged-KV runtime (csrc/paged_runtime.cpp).
+
+The native library is compiled on first use with g++ (no pybind11 in this
+environment; the C ABI + ctypes replaces the reference's pybind layer,
+``src/flash_attention.cu:137-150``). The .so is cached next to the source
+keyed on a source hash.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ["PagedEngine", "Batch"]
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+
+
+def _build_library() -> str:
+    src = os.path.abspath(os.path.join(_CSRC, "paged_runtime.cpp"))
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), "fa_tpu_native")
+    os.makedirs(out_dir, exist_ok=True)
+    so = os.path.join(out_dir, f"paged_runtime_{tag}.so")
+    if not os.path.exists(so):
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", so],
+            check=True, capture_output=True,
+        )
+    return so
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        _lib = ctypes.CDLL(_build_library())
+        _lib.fa_engine_create.restype = ctypes.c_void_p
+        _lib.fa_engine_create.argtypes = [ctypes.c_int32] * 3
+        _lib.fa_engine_destroy.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_add_request.restype = ctypes.c_int32
+        _lib.fa_engine_add_request.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+        _lib.fa_engine_step.restype = ctypes.c_int32
+        _lib.fa_engine_step.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_commit_tokens.restype = ctypes.c_int32
+        _lib.fa_engine_commit_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32]
+        _lib.fa_engine_batch_size.restype = ctypes.c_int32
+        _lib.fa_engine_batch_size.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32]
+        for name in ("fa_engine_free_pages", "fa_engine_waiting"):
+            fn = getattr(_lib, name)
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_preempt_count.restype = ctypes.c_int64
+        _lib.fa_engine_preempt_count.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+@dataclasses.dataclass
+class Batch:
+    """One decode step's batch composition."""
+
+    ids: np.ndarray          # (n,) int64 sequence ids
+    lengths: np.ndarray      # (n,) int32 current total length per sequence
+    page_tables: np.ndarray  # (n, max_pages_per_seq) int32, -1 padded
+
+
+class PagedEngine:
+    """Continuous-batching scheduler over a paged KV pool (native core)."""
+
+    def __init__(self, num_pages: int, page_size: int, max_batch: int,
+                 max_pages_per_seq: int | None = None):
+        self._lib = _load()
+        self._h = ctypes.c_void_p(
+            self._lib.fa_engine_create(num_pages, page_size, max_batch))
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq or num_pages
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fa_engine_destroy(self._h)
+            self._h = None
+
+    def add_request(self, seq_id: int, prompt_len: int, max_new_tokens: int):
+        rc = self._lib.fa_engine_add_request(self._h, seq_id, prompt_len,
+                                             max_new_tokens)
+        if rc != 0:
+            raise ValueError(
+                f"request {seq_id} rejected (duplicate id, or "
+                f"{prompt_len}+{max_new_tokens} tokens can never fit the pool)")
+
+    def step(self) -> Batch:
+        """Admit + allocate for one decode step; returns the running batch."""
+        n = self._lib.fa_engine_step(self._h)
+        if n < 0:
+            raise RuntimeError("scheduler deadlock: a sequence cannot grow")
+        ids = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int32)
+        pages = np.zeros((n, self.max_pages_per_seq), np.int32)
+        if n:
+            self._lib.fa_engine_batch(
+                self._h,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                pages.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self.max_pages_per_seq)
+        return Batch(ids, lens, pages)
+
+    def commit(self) -> list[int]:
+        """Record one generated token per running sequence; returns finished ids."""
+        cap = self.max_batch
+        buf = (ctypes.c_int64 * cap)()
+        n = self._lib.fa_engine_commit_tokens(self._h, buf, cap)
+        return [buf[i] for i in range(min(n, cap))]
+
+    @property
+    def free_pages(self) -> int:
+        return self._lib.fa_engine_free_pages(self._h)
+
+    @property
+    def waiting(self) -> int:
+        return self._lib.fa_engine_waiting(self._h)
+
+    @property
+    def preempt_count(self) -> int:
+        return self._lib.fa_engine_preempt_count(self._h)

@@ -1,0 +1,121 @@
+"""Autotuner: measure every candidate config on hardware, report the best.
+
+TPU-native replacement for the reference's autotune pipeline
+(``benchmark_autotune.sh`` + ``ncu_bench.py`` + the pruning heuristics in
+``kernel_configs.py:364-423``): instead of NCU CSV parsing, configs are timed
+directly with host-readback fencing; pruning is VMEM/MXU-shape based
+(``should_autotune_config``). Results go to a CSV whose rows round-trip
+through ``parse_short_form``.
+
+Usage:
+    python -m flash_attention_from_scratch_tpu.tools.autotune \
+        --seq 4096 --heads 16 --batch 16 --kernels tune --csv profiles/autotune.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csv_mod
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..dispatch import median_runtime
+from ..ops.configs import (
+    DType,
+    KernelConfig,
+    calc_self_attn_flop,
+    get_kernel_configs,
+)
+from ..ops.flash_forward import flash_forward
+from ..utils.chip import chip_sol_tflops, device_kind, measured_matmul_tflops
+from ..utils.testing import generate_qkv
+
+__all__ = ["tune", "main"]
+
+
+def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
+    """Measure each config; returns rows sorted by TFLOP/s descending."""
+    dtype_groups: dict[DType, list[KernelConfig]] = {}
+    for cfg in configs:
+        dtype_groups.setdefault(cfg.dtype, []).append(cfg)
+
+    flops = None
+    rows = []
+    for dtype, cfgs in dtype_groups.items():
+        q, k, v = generate_qkv(seq, d_head=cfgs[0].d_head, n_heads=heads,
+                               batch=batch, dtype=dtype.jnp_dtype)
+        for cfg in cfgs:
+            if seq % cfg.block_q or seq % cfg.block_kv:
+                continue
+            flops = calc_self_attn_flop(seq, cfg.d_head, heads, batch)
+            t0 = time.perf_counter()
+            try:
+                secs = median_runtime(lambda: flash_forward(q, k, v, cfg),
+                                      warmup=2, iters=iters)
+            except Exception as e:  # compile failure is a data point, not a crash
+                log(f"  {cfg.short_form()}: FAILED {type(e).__name__}: {str(e)[:80]}")
+                rows.append(dict(config=cfg.short_form(), ms=None, tflops=0.0,
+                                 pct_sol=0.0, compile_s=None, error=str(e)[:200]))
+                continue
+            compile_s = time.perf_counter() - t0 - secs * iters
+            tflops = flops / secs / 1e12
+            rows.append(dict(
+                config=cfg.short_form(),
+                ms=round(secs * 1e3, 4),
+                tflops=round(tflops, 2),
+                pct_sol=round(100 * tflops / chip_sol_tflops(), 2),
+                compile_s=round(max(compile_s, 0.0), 1),
+                error="",
+            ))
+            log(f"  {cfg.short_form()}: {secs*1e3:8.3f} ms  {tflops:7.2f} TFLOP/s"
+                f"  ({rows[-1]['pct_sol']:5.2f}% SoL)")
+    rows.sort(key=lambda r: -r["tflops"])
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--kernels", default="tune",
+                    help="prog | all | tune | '<block_q>,<block_kv>' (ref KERNELS=)")
+    ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--csv", default=None, help="write results CSV here")
+    args = ap.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    dtype = DType.from_short(args.dtype)
+    configs = [c for c in get_kernel_configs(args.kernels) if c.dtype == dtype]
+    print(f"device={device_kind()}  nominal SoL={chip_sol_tflops()} TFLOP/s")
+    print(f"tuning {len(configs)} configs at seq={args.seq} heads={args.heads} "
+          f"batch={args.batch} dtype={dtype.short}")
+    rows = tune(configs, args.seq, args.heads, args.batch, iters=args.iters)
+
+    mm = measured_matmul_tflops()
+    print(f"\nmeasured matmul ceiling: {mm:.1f} TFLOP/s")
+    print(f"{'config':<44} {'ms':>9} {'TFLOP/s':>8} {'%SoL':>6} {'%mm':>6}")
+    for r in rows[:20]:
+        pct_mm = 100 * r["tflops"] / mm if mm else 0
+        print(f"{r['config']:<44} {r['ms'] or float('nan'):>9} {r['tflops']:>8} "
+              f"{r['pct_sol']:>6} {pct_mm:>6.2f}")
+
+    if args.csv:
+        os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
+        with open(args.csv, "w", newline="") as f:
+            w = csv_mod.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

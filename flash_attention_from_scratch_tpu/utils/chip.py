@@ -1,0 +1,64 @@
+"""Chip identification and speed-of-light constants.
+
+Analogue of the reference's device-attribute queries (``cuda_utils.cuh:5-46``)
+and its clock-locked FA2 baseline role (``pt_bench.py:111-134``): on TPU the
+baseline every kernel is judged against is the chip's bf16 MXU peak, plus a
+*measured* matmul ceiling (big bf16 matmul) for an honest attainable bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["chip_sol_tflops", "device_kind", "measured_matmul_tflops", "hbm_gbps"]
+
+# Nominal bf16 MXU peaks (TFLOP/s) and HBM bandwidth (GB/s) by device kind.
+_CHIP_TABLE = {
+    "v5 lite": (197.0, 819.0),   # v5e
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6 lite": (918.0, 1640.0),  # v6e / Trillium
+    "v6e": (918.0, 1640.0),
+}
+
+
+def device_kind() -> str:
+    return jax.devices()[0].device_kind
+
+
+def _lookup():
+    kind = device_kind().lower()
+    for key, val in _CHIP_TABLE.items():
+        if key in kind:
+            return val
+    return (197.0, 819.0)
+
+
+def chip_sol_tflops() -> float:
+    return _lookup()[0]
+
+
+def hbm_gbps() -> float:
+    return _lookup()[1]
+
+
+@functools.lru_cache(maxsize=1)
+def measured_matmul_tflops(n: int = 8192, iters: int = 10) -> float:
+    """Measured bf16 matmul throughput — the attainable MXU ceiling.
+
+    The TPU analogue of benchmarking official FA2 as the reference bar: a
+    plain n^3 matmul is the best the chip actually sustains, which is what
+    an attention kernel should be compared against (nominal SoL includes
+    margins no real kernel reaches).
+    """
+    from ..dispatch import median_runtime
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32).astype(jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32).astype(jnp.bfloat16)
+    mm = jax.jit(lambda x, y: x @ y)
+    secs = median_runtime(lambda: mm(a, b), warmup=2, iters=iters)
+    return 2 * n**3 / secs / 1e12

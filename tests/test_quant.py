@@ -1,0 +1,92 @@
+"""Quantized K/V attention tests: pack/unpack round trip, fused-dequant numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_from_scratch_tpu.ops.configs import KernelConfig
+from flash_attention_from_scratch_tpu.ops.flash_quant import flash_forward_quantized
+from flash_attention_from_scratch_tpu.ops.quant import (
+    dequantize, quantize_kv, unpack_int4,
+)
+from flash_attention_from_scratch_tpu.ops.reference import reference_attention
+from flash_attention_from_scratch_tpu.utils.testing import generate_qkv
+
+CFG = KernelConfig(block_q=128, block_kv=128)
+
+# Max tolerated output error vs the *dequantized* oracle is small (the kernel
+# must match its own quantization); vs the unquantized oracle it is bounded
+# by the quantization noise itself.
+ERR_VS_DEQUANT_ORACLE = {"int8": 6e-3, "fp8": 6e-3, "int4": 1.2e-2}
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8", "int4"])
+def test_quantize_round_trip(mode):
+    _, k, _ = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    qt = quantize_kv(k, mode)
+    deq = dequantize(qt)
+    rel = float(jnp.max(jnp.abs(deq.astype(jnp.float32) - k.astype(jnp.float32))))
+    scale = float(qt.scales.max())
+    # Round-trip error: half a quantization step plus the bf16 rounding of
+    # the dequantized value (dequantize() returns the original dtype).
+    bf16_ulp = 0.0079 * float(jnp.max(jnp.abs(k.astype(jnp.float32))))
+    # int4/int8: half a quantization step. fp8 e4m3: 3 mantissa bits ->
+    # half-ulp relative error 2^-4, i.e. absmax/16 = 28*scale at the max.
+    step = scale * (28.0 if mode == "fp8" else 0.51)
+    assert rel <= step + bf16_ulp, (mode, rel, scale)
+    if mode == "int4":
+        assert qt.values.shape[-1] == k.shape[-1] // 2
+
+
+def test_unpack_int4_exact():
+    rng = np.random.RandomState(0)
+    vals = rng.randint(-7, 8, size=(4, 8)).astype(np.int8)
+    lo = vals[:, :4] & 0x0F
+    hi = vals[:, 4:] & 0x0F
+    packed = jnp.asarray((lo | (hi << 4)).astype(np.int8))
+    out = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), vals.astype(np.float32))
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8", "int4"])
+def test_quantized_attention_matches_dequant_oracle(mode):
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    kq, vq = quantize_kv(k, mode), quantize_kv(v, mode)
+    out = flash_forward_quantized(q, kq, vq, CFG)
+    # Oracle: plain attention on the dequantized values — isolates kernel
+    # error from quantization error.
+    ref = reference_attention(q, dequantize(kq), dequantize(vq))
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    assert err <= ERR_VS_DEQUANT_ORACLE[mode], f"{mode}: {err}"
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quantized_attention_vs_unquantized(mode):
+    """End-to-end quantization noise stays within the expected band."""
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    kq, vq = quantize_kv(k, mode), quantize_kv(v, mode)
+    out = flash_forward_quantized(q, kq, vq, CFG)
+    ref = reference_attention(q, k, v)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    # int8 KV is near-lossless for attention; int4 noticeably noisier.
+    bound = 0.06 if mode == "int8" else 0.5
+    assert err <= bound, f"{mode}: {err}"
+
+
+def test_causal_quantized():
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    kq, vq = quantize_kv(k, "int8"), quantize_kv(v, "int8")
+    out = flash_forward_quantized(q, kq, vq, cfg)
+    ref = reference_attention(q, dequantize(kq), dequantize(vq), causal=True)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    # Early causal rows average few keys -> outputs near 1.0, so 1-2 bf16
+    # ulps at that magnitude.
+    assert err <= 2e-2, err
+
+
+def test_mode_mismatch_rejected():
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):
+        flash_forward_quantized(q, quantize_kv(k, "int8"), quantize_kv(v, "int4"), CFG)
