@@ -125,6 +125,10 @@ class KernelConfig:
     use_exp2: bool = True  # ladder step 6: fold scale*log2(e), use exp2
     optimized_softmax: bool = True  # ladder step 10: specialize first KV block
     cast_p_to_dtype: bool = True  # convert P to 16-bit before PV (ref: load_store.cuh:314)
+    # TPU-specific rungs (no CUDA analogue): the softmax path is VPU-bound
+    # at large KV blocks, so shave full passes over the S tile.
+    fused_scale: bool = False  # max on raw S; scale folded into the exp FMA
+    mxu_row_sum: bool = False  # l = P @ ones on the MXU instead of VPU reduce
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -212,6 +216,10 @@ class KernelConfig:
             flags.append("os")
         if self.cast_p_to_dtype:
             flags.append("cp")
+        if self.fused_scale:
+            flags.append("fs")
+        if self.mxu_row_sum:
+            flags.append("ms")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -251,6 +259,8 @@ def parse_short_form(s: str) -> KernelConfig:
         use_exp2="x2" in flags,
         optimized_softmax="os" in flags,
         cast_p_to_dtype="cp" in flags,
+        fused_scale="fs" in flags,
+        mxu_row_sum="ms" in flags,
         reverse_kv="rk" in flags,
         causal="ca" in flags,
         kv_loop=KVLoop(m.group("loop")),

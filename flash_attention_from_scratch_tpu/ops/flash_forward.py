@@ -49,6 +49,23 @@ def _mm_precision(cfg: KernelConfig):
     return jax.lax.Precision.HIGHEST if cfg.dtype == DType.FP32 else None
 
 
+def _row_sum(cfg: KernelConfig, p, p_mm):
+    """Row sums of the P tile, (block_q, 1) fp32.
+
+    ``mxu_row_sum`` moves the reduction onto the MXU as P @ ones (an
+    N=8 matvec, ~1/16th of the PV matmul) so the VPU sheds one full pass
+    over the S tile — a TPU-only rung with no CUDA analogue (the reference's
+    warps reduce in registers, softmax.cuh:66-83).
+    """
+    if cfg.mxu_row_sum:
+        ones = jnp.ones((p_mm.shape[1], 8), p_mm.dtype)
+        return jax.lax.dot_general(
+            p_mm, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )[:, :1]
+    return jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_prev, l_prev, acc_prev):
     """One online-softmax update given the raw S tile (fp32).
 
@@ -57,26 +74,34 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     (block_q, d_head); ``s`` is (block_q, block_kv).
     Returns (m_new, l_new, acc_new). ``m_prev`` may be None, meaning "first
     visible block" (the ladder-step-10 specialization: no rescale).
+
+    Running statistics are kept in the *scaled* domain regardless of
+    ``fused_scale``, so the rescale math is identical for both paths.
     """
-    if cfg.use_exp2:
-        s = s * (scale * LOG2E)
-        exp_fn = jnp.exp2
-    else:
-        s = s * scale
-        exp_fn = jnp.exp
+    c = scale * LOG2E if cfg.use_exp2 else scale
+    exp_fn = jnp.exp2 if cfg.use_exp2 else jnp.exp
+
+    if not cfg.fused_scale:
+        s = s * c
 
     if cfg.causal:
         q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
 
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1), raw or scaled
+    if cfg.fused_scale:
+        m_cur = m_cur * c  # scale folds into the (block_q, 1) stats instead
+
+    def exponentiate(m_row):
+        # fused_scale: one FMA pass (s*c - m) + exp; else sub + exp.
+        return exp_fn(s * c - m_row) if cfg.fused_scale else exp_fn(s - m_row)
 
     if m_prev is None:
         m_new_b = jnp.broadcast_to(m_cur, (s.shape[0], _STATS_LANES))
-        p = exp_fn(s - m_cur)
-        l_new = jnp.broadcast_to(jnp.sum(p, axis=-1, keepdims=True), m_new_b.shape)
+        p = exponentiate(m_cur)
         p_mm = p.astype(cfg.dtype.jnp_dtype) if cfg.cast_p_to_dtype else p
+        l_new = jnp.broadcast_to(_row_sum(cfg, p, p_mm), m_new_b.shape)
         acc = jax.lax.dot_general(
             p_mm, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
@@ -85,12 +110,10 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
 
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
     m_row = m_new[:, :1]
-    p = exp_fn(s - m_row)
+    p = exponentiate(m_row)
     alpha = exp_fn(m_prev - m_new)  # (block_q, lanes); rows identical
-    l_new = l_prev * alpha + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
-    )
     p_mm = p.astype(cfg.dtype.jnp_dtype) if cfg.cast_p_to_dtype else p
+    l_new = l_prev * alpha + jnp.broadcast_to(_row_sum(cfg, p, p_mm), l_prev.shape)
     pv = jax.lax.dot_general(
         p_mm, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
