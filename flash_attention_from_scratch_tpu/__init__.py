@@ -29,7 +29,9 @@ from .ops.configs import (
     parse_short_form,
 )
 from .ops.flash_forward import flash_forward as forward
-from .ops.flash_forward import make_flash_forward
+from .ops.flash_forward import flash_forward_with_lse, make_flash_forward
+from .ops.flash_backward import flash_backward
+from .ops.autodiff import flash_attention
 from .ops.reference import block_flash_attention, reference_attention, reference_pair
 from .dispatch import forward_timed
 

@@ -131,13 +131,8 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
     v = (x @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    # GQA: broadcast KV heads to Q heads. (A grouped-query-native kernel is
-    # the decode-path optimization; for prefill the repeat is HBM-cheap
-    # relative to the O(s^2) attention.)
-    group = cfg.n_heads // cfg.n_kv_heads
-    if group > 1:
-        k = jnp.repeat(k, group, axis=1)
-        v = jnp.repeat(v, group, axis=1)
+    # GQA is native to the kernel: Q head h reads KV head h // group via the
+    # BlockSpec index map, so K/V are never materialized at n_heads width.
     if mesh is not None:
         from ..parallel.sharded_attention import shard_mapped_attention
 

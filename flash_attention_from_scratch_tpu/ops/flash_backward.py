@@ -1,0 +1,342 @@
+"""Flash Attention 2 backward pass as Pallas TPU kernels.
+
+Extension beyond the forward-only reference (``README.md:7-16`` lists "no
+backward pass" as an explicit non-goal) — a complete framework needs
+training, so this implements the FA2 backward recurrence TPU-natively:
+
+- The forward saves only O and the per-row log-sum-exp
+  (``flash_forward_with_lse``); S/P are recomputed blockwise, so backward
+  memory is O(seq) like the forward.
+- ``D = rowsum(dO * O)`` is precomputed with one fused XLA pass.
+- Two kernels, mirroring the FA2 paper's split:
+  * **dKV kernel**: grid over KV blocks, walking Q blocks innermost and
+    accumulating dK/dV in fp32 VMEM scratch. GQA is native: the grid carries
+    a ``group`` dimension so every Q head of the group accumulates into its
+    shared KV head's gradient — no materialized K/V repeat, no post-hoc sum.
+  * **dQ kernel**: grid over Q blocks, walking KV blocks innermost and
+    accumulating dQ.
+- Both kernels work in *transposed score space*: the recomputed tile is
+  S^T (block_kv, block_q), so the LSE and D row-statistics broadcast along
+  lanes for free (a column-side broadcast would cost a sublane<->lane
+  relayout per tile on TPU). The dQ contribution contracts S^T's KV
+  dimension (dim 0 of both operands) directly on the MXU instead of
+  transposing the tile back.
+- The exp2 trick carries over: P = exp2(S^T * (scale*log2e) - lse*log2e).
+
+All five tile matmuls (S^T, dP^T, dV, dK, dQ) run on the MXU with bf16
+operands and fp32 accumulation — backward is 2.5x the forward FLOPs, same
+as the CUDA FA2 backward.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .configs import DType, KernelConfig
+from .flash_forward import LOG2E
+
+__all__ = ["flash_backward", "make_flash_backward"]
+
+
+def _mask_pt(pt, q_span, kv_start):
+    """Zero P^T entries above the causal diagonal (rows=KV, cols=Q)."""
+    k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, pt.shape, 0)
+    q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, pt.shape, 1)
+    return jnp.where(q_pos >= k_pos, pt, 0.0)
+
+
+def _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start):
+    """P^T tile (block_kv, block_q) fp32 from saved LSE (no renormalize)."""
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    c = scale * LOG2E
+    pt = jnp.exp2(st * c - lse_row * LOG2E)
+    if cfg.causal:
+        pt = _mask_pt(pt, q_span, kv_start)
+    return pt
+
+
+def _dst_tile(cfg, scale, pt, v, do, d_row):
+    """dS^T * scale as a bf16 MXU operand: P^T * (dP^T - D) * scale."""
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return ((pt * (dpt - d_row)) * scale).astype(cfg.dtype.jnp_dtype)
+
+
+# ---------------------------------------------------------------------------
+# dKV kernel: grid (batch, kv_heads, kv_blocks, group, q_blocks).
+# ---------------------------------------------------------------------------
+
+
+def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
+                q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc):
+    kj = pl.program_id(2)
+    g = pl.program_id(3)
+    qi = pl.program_id(4)
+    is_first = jnp.logical_and(g == 0, qi == 0)
+    is_last = jnp.logical_and(g == group - 1, qi == num_q - 1)
+
+    q_span = qi * cfg.block_q
+    kv_start = kj * cfg.block_kv
+
+    @pl.when(is_first)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    visible = True
+    if cfg.causal:
+        # KV block strictly above the diagonal for this whole Q block ->
+        # P^T == 0 -> no gradient contribution.
+        visible = kv_start <= q_span + cfg.block_q - 1
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        # Row stats arrive as full (1, seq_q) lane rows; slice this Q block's
+        # (1, block_q) window — lanes stay lanes, no relayout.
+        lse_row = lse_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+        d_row = dsum_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+
+        pt = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
+        pt_mm = pt.astype(cfg.dtype.jnp_dtype)
+        # dV_j += P^T dO
+        dv_acc[...] += jax.lax.dot_general(
+            pt_mm, do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dK_j += (dS^T * scale) Q
+        dst = _dst_tile(cfg, scale, pt, v, do, d_row)
+        dk_acc[...] += jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if cfg.causal:
+        @pl.when(visible)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(is_last)
+    def _():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# dQ kernel: grid (batch, heads, q_blocks, kv_blocks).
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
+               q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+               dq_ref, dq_acc):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    is_first = ki == 0
+    is_last = ki == num_kv - 1
+
+    q_span = qi * cfg.block_q
+    kv_start = ki * cfg.block_kv
+
+    @pl.when(is_first)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    visible = True
+    if cfg.causal:
+        visible = kv_start <= q_span + cfg.block_q - 1
+
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse_row = lse_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+        d_row = dsum_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+
+        pt = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
+        dst = _dst_tile(cfg, scale, pt, v, do, d_row)
+        # dQ_i += dS K: contract the KV dim (dim 0 of dS^T and of K) on the
+        # MXU directly — the tile never transposes back to (q, kv) space.
+        dq_acc[...] += jax.lax.dot_general(
+            dst, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if cfg.causal:
+        @pl.when(visible)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(is_last)
+    def _():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Builders.
+# ---------------------------------------------------------------------------
+
+
+def make_flash_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
+                        seq_kv: int, kv_heads: int, scale: float,
+                        interpret: bool,
+                        block_q: int | None = None,
+                        block_kv: int | None = None):
+    """Build (dq_call, dkv_call) for one shape specialization.
+
+    ``block_q``/``block_kv`` default to backward-friendly tiles (the forward
+    default block_kv can be the whole sequence, which would square the
+    backward's VMEM footprint — five live (kv, q) tiles instead of two).
+    """
+    bq = block_q or min(cfg.block_q, 512, seq_q)
+    bkv = block_kv or min(max(cfg.block_kv, 128), 512, seq_kv)
+    while seq_q % bq:
+        bq //= 2
+    while seq_kv % bkv:
+        bkv //= 2
+    bcfg = KernelConfig(
+        block_q=bq, block_kv=bkv, d_head=cfg.d_head, dtype=cfg.dtype,
+        causal=cfg.causal, use_exp2=True,
+    )
+    num_q = seq_q // bq
+    num_kv = seq_kv // bkv
+    d = cfg.d_head
+    group = heads // kv_heads
+    in_dtype = cfg.dtype.jnp_dtype
+
+    def q_idx_dq(b, h, qi, ki):
+        return (b, h, qi, 0)
+
+    def kv_idx_dq(b, h, qi, ki):
+        return (b, h // group if group > 1 else h, ki, 0)
+
+    def row_idx_dq(b, h, qi, ki):
+        return (b, h, 0, 0)
+
+    row_spec_dq = pl.BlockSpec((1, 1, 1, seq_q), row_idx_dq,
+                               memory_space=pltpu.VMEM)
+
+    dq_call = pl.pallas_call(
+        functools.partial(_dq_kernel, bcfg, scale, num_kv, group),
+        grid=(batch, heads, num_q, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_idx_dq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), q_idx_dq, memory_space=pltpu.VMEM),
+            row_spec_dq,
+            row_spec_dq,
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_idx_dq, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), in_dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def q_idx_dkv(b, hk, kj, g, qi):
+        h = hk * group + g if group > 1 else hk
+        return (b, h, qi, 0)
+
+    def kv_idx_dkv(b, hk, kj, g, qi):
+        return (b, hk, kj, 0)
+
+    def row_idx_dkv(b, hk, kj, g, qi):
+        h = hk * group + g if group > 1 else hk
+        return (b, h, 0, 0)
+
+    row_spec_dkv = pl.BlockSpec((1, 1, 1, seq_q), row_idx_dkv,
+                                memory_space=pltpu.VMEM)
+
+    dkv_call = pl.pallas_call(
+        functools.partial(_dkv_kernel, bcfg, scale, num_q, group),
+        grid=(batch, kv_heads, num_kv, group, num_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_idx_dkv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dkv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dkv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), q_idx_dkv, memory_space=pltpu.VMEM),
+            row_spec_dkv,
+            row_spec_dkv,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dkv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx_dkv, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, kv_heads, seq_kv, d), in_dtype),
+            jax.ShapeDtypeStruct((batch, kv_heads, seq_kv, d), in_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    return dq_call, dkv_call
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
+                     seq_kv: int, kv_heads: int, scale: float, interpret: bool):
+    dq_call, dkv_call = make_flash_backward(
+        cfg, batch, heads, seq_q, seq_kv, kv_heads, scale, interpret)
+
+    def run(q, k, v, o, lse, do):
+        dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+        # Row stats go in as (b, h, 1, seq_q) whole-row lane vectors; the
+        # kernels slice per-block windows without relayout.
+        lse_r = lse[:, :, None, :]
+        dsum_r = dsum[:, :, None, :]
+        dq = dq_call(q, k, v, do, lse_r, dsum_r)
+        dk, dv = dkv_call(q, k, v, do, lse_r, dsum_r)
+        return dq, dk, dv
+
+    return jax.jit(run)
+
+
+def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
+                   scale: float | None = None, interpret: bool | None = None):
+    """Gradients (dq, dk, dv) of ``flash_forward`` from saved (O, LSE).
+
+    Inputs mirror the forward: q (b, h, s_q, d), k/v (b, h_kv, s_kv, d); ``o``
+    is the forward output and ``lse`` the residual from
+    :func:`flash_forward_with_lse`; ``do`` is the output cotangent.
+    """
+    if cfg is None:
+        cfg = KernelConfig.for_shape(
+            q.shape[2], k.shape[2],
+            dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
+        )
+    if scale is None:
+        scale = 1.0 / math.sqrt(cfg.d_head)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fn = _cached_backward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                          k.shape[1], float(scale), interpret)
+    return fn(q, k, v, o, lse, do)

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .configs import DType, KernelConfig, KVLoop, calc_self_attn_flop
 
-__all__ = ["make_flash_forward", "flash_forward"]
+__all__ = ["make_flash_forward", "flash_forward", "flash_forward_with_lse"]
 
 LOG2E = math.log2(math.e)
 MASK_VALUE = -1e30  # large-negative instead of -inf: avoids inf-inf NaNs
@@ -127,8 +127,17 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
 # ---------------------------------------------------------------------------
 
 
+def _grid_kernel_with_lse(cfg, scale, num_kv,
+                          q_ref, k_ref, v_ref, o_ref, lse_ref,
+                          acc_ref, m_ref, l_ref):
+    """Ref-order shim: pallas passes outputs before scratch."""
+    _grid_kernel(cfg, scale, num_kv, q_ref, k_ref, v_ref, o_ref,
+                 acc_ref, m_ref, l_ref, lse_ref=lse_ref)
+
+
 def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
-                 q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+                 q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                 lse_ref=None):
     kv_step = pl.program_id(3)
     qi = pl.program_id(2)
     is_first = kv_step == 0
@@ -202,21 +211,51 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
     def _():
         # Final normalization (ref softmax.cuh:107-128) + downcast + store.
         o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # Natural-log row log-sum-exp of the *scaled* scores — the
+            # backward pass residual. Running stats live in log2 domain when
+            # use_exp2; one ln(2) multiply converts.
+            m_col = m_ref[:, :1]
+            l_col = l_ref[:, :1]
+            if cfg.use_exp2:
+                lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
+            else:
+                lse = m_col + jnp.log(l_col)
+            # Stored (block_q, 1): the sublane-major column layout the stats
+            # already live in — no relayout on write.
+            lse_ref[0, 0] = lse
 
 
 def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
-                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False):
+                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False,
+                     kv_heads: int | None = None, return_lse: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
+    # GQA: Q head h reads KV head h // group directly from HBM — no
+    # materialized jnp.repeat of K/V (a pure index-map change on TPU).
+    group = heads // (kv_heads or heads)
 
     def kv_index(b, h, qi, ki):
         blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
-        return (b, h, blk, 0)
+        return (b, h // group if group > 1 else h, blk, 0)
 
     grid = (batch, heads, num_q, num_kv)
     kernel = functools.partial(_grid_kernel, cfg, scale, num_kv)
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
+
+    out_specs = pl.BlockSpec((1, 1, cfg.block_q, d),
+                             lambda b, h, qi, ki: (b, h, qi, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
+    if return_lse:
+        kernel = functools.partial(_grid_kernel_with_lse, cfg, scale, num_kv)
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, cfg.block_q, 1),
+                                  lambda b, h, qi, ki: (b, h, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((batch, heads, seq_q, 1), jnp.float32))
 
     return pl.pallas_call(
         kernel,
@@ -227,10 +266,8 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
             pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
-                               lambda b, h, qi, ki: (b, h, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cfg.block_q, d), jnp.float32),            # O accumulator
             pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),  # running max m
@@ -256,11 +293,11 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
 # ---------------------------------------------------------------------------
 
 
-def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int,
+def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  q_ref, k_hbm, v_hbm, o_ref,
                  k_buf, v_buf, sems):
     bi = pl.program_id(0)
-    hi = pl.program_id(1)
+    hi = pl.program_id(1) // group if group > 1 else pl.program_id(1)
     qi = pl.program_id(2)
     q_span = qi * cfg.block_q
     nbuf = max(cfg.num_kv_buffers, 1)
@@ -346,12 +383,14 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int,
 
 
 def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
-                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False):
+                     seq_q: int, seq_kv: int, interpret: bool, debug: bool = False,
+                     kv_heads: int | None = None):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
     nbuf = max(cfg.num_kv_buffers, 1)
-    kernel = functools.partial(_fori_kernel, cfg, scale, num_kv)
+    group = heads // (kv_heads or heads)
+    kernel = functools.partial(_fori_kernel, cfg, scale, num_kv, group)
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     return pl.pallas_call(
@@ -392,8 +431,12 @@ def _validate(cfg: KernelConfig, q, k, v):
         raise ValueError(f"expected (batch, heads, seq, d_head), got {q.shape}")
     if k.shape != v.shape:
         raise ValueError(f"K/V shape mismatch: {k.shape} vs {v.shape}")
-    if q.shape[0] != k.shape[0] or q.shape[1] != k.shape[1] or q.shape[3] != k.shape[3]:
+    if q.shape[0] != k.shape[0] or q.shape[3] != k.shape[3]:
         raise ValueError(f"Q/K shape mismatch: {q.shape} vs {k.shape}")
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(
+            f"GQA requires q_heads % kv_heads == 0: {q.shape[1]} vs {k.shape[1]}"
+        )
     if q.shape[3] != cfg.d_head:
         raise ValueError(f"d_head mismatch: config {cfg.d_head}, tensors {q.shape[3]}")
     if jnp.dtype(q.dtype) != jnp.dtype(cfg.dtype.jnp_dtype):
@@ -406,12 +449,15 @@ def _validate(cfg: KernelConfig, q, k, v):
 
 def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                        seq_kv: int, scale: float | None = None,
-                       interpret: bool | None = None, debug: bool = False):
+                       interpret: bool | None = None, debug: bool = False,
+                       kv_heads: int | None = None, return_lse: bool = False):
     """Build the pallas_call for one (config, shape) specialization.
 
     The analogue of one template instantiation in the reference's generated
     dispatch table (``flash_kernels.cuh:14-186``); callers should go through
     :func:`flash_forward` / ``dispatch.forward`` which cache these.
+    ``kv_heads`` (default ``heads``) enables grouped-query attention: Q head
+    ``h`` attends over KV head ``h // (heads // kv_heads)``.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)
@@ -419,15 +465,18 @@ def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
         interpret = jax.default_backend() == "cpu"
     if cfg.kv_loop == KVLoop.GRID:
         return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
-                                debug)
+                                debug, kv_heads, return_lse)
+    if return_lse:
+        raise NotImplementedError("return_lse requires kv_loop=GRID")
     return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
-                            debug)
+                            debug, kv_heads)
 
 
 @functools.lru_cache(maxsize=512)
 def _cached_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
-                    seq_kv: int, scale: float, interpret: bool):
-    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret)
+                    seq_kv: int, scale: float, interpret: bool, kv_heads: int):
+    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret,
+                              kv_heads=kv_heads)
     return jax.jit(lambda q, k, v: call(q, k, v))
 
 
@@ -449,5 +498,42 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fn = _cached_forward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
-                         float(scale), interpret)
+                         float(scale), interpret, k.shape[1])
+    return fn(q, k, v)
+
+
+@functools.lru_cache(maxsize=512)
+def _cached_forward_lse(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
+                        seq_kv: int, scale: float, interpret: bool, kv_heads: int):
+    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret,
+                              kv_heads=kv_heads, return_lse=True)
+
+    def run(q, k, v):
+        out, lse = call(q, k, v)
+        return out, lse[..., 0]  # (b, h, seq_q)
+
+    return jax.jit(run)
+
+
+def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
+                           scale: float | None = None,
+                           interpret: bool | None = None):
+    """Forward pass that also returns the per-row log-sum-exp residual.
+
+    ``lse`` is (batch, heads, seq_q) fp32 in the natural-log domain of the
+    *scaled* scores: ``lse[r] = log sum_k exp(scale * q_r . k_k)`` — exactly
+    what the backward kernels need to reconstruct P without renormalizing.
+    """
+    if cfg is None:
+        cfg = KernelConfig.for_shape(
+            q.shape[2], k.shape[2],
+            dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
+        )
+    _validate(cfg, q, k, v)
+    if scale is None:
+        scale = 1.0 / math.sqrt(cfg.d_head)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    fn = _cached_forward_lse(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+                             float(scale), interpret, k.shape[1])
     return fn(q, k, v)

@@ -33,6 +33,10 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None):
     """
     d = q.shape[-1]
     scale = scale_override if scale_override is not None else 1.0 / math.sqrt(d)
+    if k.shape[1] != q.shape[1]:  # GQA: broadcast KV heads to Q heads
+        group = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
     # precision=HIGHEST so the fp32 oracle is a true fp32 oracle on TPU (the
     # default TPU matmul precision would silently round f32 operands to bf16).
     s = jnp.einsum(

@@ -1,0 +1,118 @@
+"""Gradient checks for the Pallas flash backward kernels.
+
+Oracle: ``jax.grad`` through the pure-jnp reference attention, in fp32 and in
+the native dtype, driving the same adaptive tolerance rule the forward suite
+uses (ref ``test.py:57-61`` applied per gradient).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_attention_from_scratch_tpu.ops.autodiff import flash_attention
+from flash_attention_from_scratch_tpu.ops.configs import KernelConfig
+from flash_attention_from_scratch_tpu.ops.flash_forward import (
+    flash_forward_with_lse,
+)
+from flash_attention_from_scratch_tpu.ops.reference import reference_attention
+from flash_attention_from_scratch_tpu.utils.testing import (
+    adaptive_tolerance_check,
+    generate_qkv,
+)
+
+
+def _grad_oracle(q, k, v, do, causal):
+    """(native, fp32) gradient pairs via jax.grad of the jnp reference."""
+
+    def loss(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, causal=causal) * do)
+
+    g_native = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_fp32 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            reference_attention(q, k, v, causal=causal) * do.astype(jnp.float32)
+        ),
+        argnums=(0, 1, 2),
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    return g_native, g_fp32
+
+
+def _check_grads(seq=256, heads=2, kv_heads=None, batch=1, causal=False,
+                 block=128):
+    kv_heads = kv_heads or heads
+    q, _, _ = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(seq, n_heads=kv_heads, batch=batch,
+                           dtype=jnp.bfloat16, seed=1)
+    do = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16,
+                      seed=2)[0]
+    cfg = KernelConfig(block_q=block, block_kv=block, causal=causal)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, cfg) * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_native, g_fp32 = _grad_oracle(q, k, v, do, causal)
+    for name, got, ref16, ref32 in zip("qkv", grads, g_native, g_fp32):
+        ok, kerr, berr = adaptive_tolerance_check(got, ref16, ref32)
+        assert ok, f"d{name}: kernel err {kerr:.3e} > 2x baseline {berr:.3e}"
+
+
+def test_backward_basic():
+    _check_grads()
+
+
+def test_backward_causal():
+    _check_grads(causal=True)
+
+
+def test_backward_gqa():
+    _check_grads(heads=4, kv_heads=2)
+
+
+def test_backward_gqa_causal():
+    _check_grads(heads=4, kv_heads=2, causal=True)
+
+
+def test_backward_multiblock():
+    _check_grads(seq=512, block=128)
+
+
+def test_lse_matches_reference():
+    """LSE residual equals log-sum-exp of the scaled scores."""
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    out, lse = flash_forward_with_lse(q, k, v, cfg)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / jnp.sqrt(128.0)
+    ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
+    assert jnp.max(jnp.abs(lse - ref_lse)) < 5e-2, (
+        float(jnp.max(jnp.abs(lse - ref_lse))))
+    # The with-lse forward output must match the plain forward.
+    from flash_attention_from_scratch_tpu.ops.flash_forward import flash_forward
+
+    plain = flash_forward(q, k, v, cfg)
+    assert jnp.array_equal(out, plain)
+
+
+def test_train_step_decreases_loss():
+    """End-to-end: two optimizer steps on tiny Llama lower the loss."""
+    from flash_attention_from_scratch_tpu.models.llama import (
+        LlamaConfig, init_params, loss_fn,
+    )
+    from flash_attention_from_scratch_tpu.models.train import (
+        make_optimizer, make_train_step,
+    )
+
+    cfg = LlamaConfig(vocab_size=128, dim=256, n_layers=1, n_heads=2,
+                      n_kv_heads=1, d_head=128, hidden_dim=256,
+                      block_q=128, block_kv=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    opt = make_optimizer(lr=1e-2)
+    opt_state = opt.init(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 129), 0, 128)
+    step = jax.jit(make_train_step(cfg, opt))
+    l0 = loss_fn(params, tokens, cfg)
+    for _ in range(2):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    l1 = loss_fn(params, tokens, cfg)
+    assert float(l1) < float(l0), (float(l0), float(l1))

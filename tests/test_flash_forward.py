@@ -85,6 +85,27 @@ def test_causal(kv_loop):
     assert ok, f"causal {kv_loop}: {kerr:.3e} vs baseline {berr:.3e}"
 
 
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa(kv_loop, causal):
+    """Grouped-query attention: 4 Q heads share each KV head via index map."""
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=causal, kv_loop=kv_loop)
+    q, _, _ = generate_qkv(256, n_heads=8, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=1)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"gqa {kv_loop}: {kerr:.3e} vs baseline {berr:.3e}"
+
+
+def test_gqa_invalid_heads():
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    q, _, _ = generate_qkv(256, n_heads=6, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(256, n_heads=4, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):
+        flash_forward(q, k, v, cfg)
+
+
 def test_fori_multi_buffer():
     _check(KernelConfig(block_q=128, block_kv=128, kv_loop=KVLoop.FORI,
                         num_kv_buffers=3))
