@@ -32,6 +32,10 @@ from .ops.flash_forward import flash_forward as forward
 from .ops.flash_forward import flash_forward_with_lse, make_flash_forward
 from .ops.flash_backward import flash_backward
 from .ops.autodiff import flash_attention
+from .ops.flash_quant import flash_forward_quantized
+from .ops.paged_attention import paged_decode_attention
+from .ops.quant import QTensor, dequantize, quantize_kv
+from .ops.quant_matmul import QuantizedWeight, quant_matmul, quantize_weight
 from .ops.reference import block_flash_attention, reference_attention, reference_pair
 from .dispatch import forward_timed
 
@@ -41,8 +45,19 @@ __all__ = [
     "DType",
     "KernelConfig",
     "KVLoop",
+    "QTensor",
+    "QuantizedWeight",
     "forward",
     "forward_timed",
+    "flash_attention",
+    "flash_backward",
+    "flash_forward_with_lse",
+    "flash_forward_quantized",
+    "paged_decode_attention",
+    "quantize_kv",
+    "dequantize",
+    "quantize_weight",
+    "quant_matmul",
     "make_flash_forward",
     "reference_attention",
     "reference_pair",

@@ -1,0 +1,277 @@
+"""Llama decode path over the paged KV cache.
+
+Extension beyond the prefill-only reference: autoregressive generation with
+continuous batching. The KV cache is the page pool managed by the native
+scheduler (``csrc/paged_runtime.cpp``); attention at decode is the
+bandwidth-bound ``ops.paged_attention`` kernel; prefill reuses the MXU-bound
+``ops.flash_forward`` kernel and scatters its K/V into pages.
+
+Cache layout: per-layer lists of ``(n_kv_heads, num_pages, page_size,
+d_store)`` arrays (lists, not a stacked array with a layer dim: a stacked
+array would make every per-layer read a dynamic-slice copy of the whole
+pool — at decode that doubles the HBM traffic the kernel exists to
+minimize). Quantized modes store int8/fp8 (packed int4: d_head//2) plus
+per-(kv_head, page) fp32 scales; a sequence's scale is calibrated at its
+prefill and inherited by the pages it grows into at decode, so earlier
+tokens never need re-quantization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.paged_attention import paged_decode_attention
+from ..ops.quant import KVQuantMode
+from .llama import LlamaConfig, _mlp, _mm, apply_rope, rms_norm, rope_tables
+
+__all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step", "greedy_token"]
+
+_QMAX = {"int8": 127.0, "int4": 7.0, "fp8": 448.0}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PagedKVCache:
+    """Per-layer paged KV pools (+ per-(head, page) scales when quantized)."""
+
+    k_pages: list  # L x (kv_heads, num_pages, page_size, d_store)
+    v_pages: list
+    k_scales: list  # L x (kv_heads, num_pages) fp32 (ones when dense)
+    v_scales: list
+    mode: str = "dense"
+
+    def tree_flatten(self):
+        return (self.k_pages, self.v_pages, self.k_scales, self.v_scales), (self.mode,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, mode=aux[0])
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages[0].shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages[0].shape[1]
+
+    def nbytes(self) -> int:
+        return sum(x.nbytes for x in self.k_pages + self.v_pages
+                   + self.k_scales + self.v_scales)
+
+
+def init_cache(cfg: LlamaConfig, num_pages: int, page_size: int,
+               mode: str = "dense") -> PagedKVCache:
+    if mode == "dense":
+        store_dtype, d_store = cfg.dtype.jnp_dtype, cfg.d_head
+    elif mode == KVQuantMode.INT8:
+        store_dtype, d_store = jnp.int8, cfg.d_head
+    elif mode == KVQuantMode.INT4:
+        store_dtype, d_store = jnp.int8, cfg.d_head // 2
+    elif mode == KVQuantMode.FP8:
+        store_dtype, d_store = jnp.float8_e4m3fn, cfg.d_head
+    else:
+        raise ValueError(f"unknown cache mode {mode!r}")
+    shape = (cfg.n_kv_heads, num_pages, page_size, d_store)
+    return PagedKVCache(
+        [jnp.zeros(shape, store_dtype) for _ in range(cfg.n_layers)],
+        [jnp.zeros(shape, store_dtype) for _ in range(cfg.n_layers)],
+        [jnp.ones((cfg.n_kv_heads, num_pages), jnp.float32)
+         for _ in range(cfg.n_layers)],
+        [jnp.ones((cfg.n_kv_heads, num_pages), jnp.float32)
+         for _ in range(cfg.n_layers)],
+        mode=mode,
+    )
+
+
+def _quantize_rows(x, scale, mode: str):
+    """Quantize (..., d) rows with a broadcastable symmetric scale."""
+    xf = x.astype(jnp.float32) / scale
+    if mode == KVQuantMode.INT8:
+        return jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8)
+    if mode == KVQuantMode.INT4:
+        q = jnp.clip(jnp.round(xf), -7, 7).astype(jnp.int8)
+        d = q.shape[-1]
+        lo = q[..., : d // 2] & 0x0F
+        hi = q[..., d // 2:] & 0x0F
+        return (lo | (hi << 4)).astype(jnp.int8)
+    if mode == KVQuantMode.FP8:
+        return xf.astype(jnp.float8_e4m3fn)
+    return x
+
+
+def _head_scale(x, mode: str):
+    """Per-KV-head symmetric scale for a (kv_heads, ..., d) tensor."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                     axis=tuple(range(1, x.ndim)))
+    return jnp.maximum(absmax / _QMAX[mode], 1e-12)
+
+
+def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
+                        prompt_len: int):
+    """Scatter one sequence's prompt K/V (kv_heads, prompt_len, d) into pages.
+
+    For quantized caches the per-head scale is calibrated from this prompt
+    (decode steps inherit it via the sequence's pages) and written to the
+    scale entries of exactly the pages the prompt occupies.
+    """
+    ps = cache.page_size
+    pos = jnp.arange(prompt_len, dtype=jnp.int32)
+    pages_idx = page_table[pos // ps]
+    slot_idx = pos % ps
+    n_used = -(-prompt_len // ps)  # static: only touch real pages, not -1 pad
+
+    if cache.mode != "dense":
+        ks = _head_scale(k, cache.mode)  # (kv_heads,)
+        vs = _head_scale(v, cache.mode)
+        k = _quantize_rows(k, ks[:, None, None], cache.mode)
+        v = _quantize_rows(v, vs[:, None, None], cache.mode)
+        used = page_table[:n_used]
+        cache.k_scales[li] = cache.k_scales[li].at[:, used].set(
+            jnp.broadcast_to(ks[:, None], (ks.shape[0], n_used)))
+        cache.v_scales[li] = cache.v_scales[li].at[:, used].set(
+            jnp.broadcast_to(vs[:, None], (vs.shape[0], n_used)))
+
+    def scatter(pages, rows):
+        kv_heads, num_pages, page_size, d_store = pages.shape
+        flat = pages.reshape(kv_heads, num_pages * page_size, d_store)
+        flat = flat.at[:, pages_idx * page_size + slot_idx].set(rows)
+        return flat.reshape(pages.shape)
+
+    cache.k_pages[li] = scatter(cache.k_pages[li], k)
+    cache.v_pages[li] = scatter(cache.v_pages[li], v)
+    return cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "interpret"),
+                   donate_argnames=("cache",))
+def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
+            page_table, prompt_len: Optional[int] = None,
+            interpret: Optional[bool] = None):
+    """Run one prompt (1, padded_len) through the model, filling its pages.
+
+    ``tokens`` may be right-padded so the flash kernel's block constraint
+    (multiple of 128) holds; ``prompt_len`` is the true length — only its
+    K/V rows are scattered into pages and the returned logits are the
+    position ``prompt_len - 1`` row. Returns (logits (vocab,) fp32, cache).
+    """
+    from .llama import _mlp, flash_attention
+
+    cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
+                                v_pages=list(cache.v_pages),
+                                k_scales=list(cache.k_scales),
+                                v_scales=list(cache.v_scales))
+    x = params["embed"][tokens]  # (1, s_pad, dim)
+    s = tokens.shape[1]
+    prompt_len = prompt_len or s
+    cos, sin = rope_tables(s, cfg.d_head, cfg.rope_theta)
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        b = h.shape[0]
+        q = _mm(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        k = _mm(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        v = _mm(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
+        x = x + _mm(out, layer["wo"])
+        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+        # Causality makes rows [0, prompt_len) independent of the padding
+        # rows, so scattering just those rows keeps the cache exact.
+        cache = _write_prompt_layer(cache, li, k[0, :, :prompt_len],
+                                    v[0, :, :prompt_len], page_table, prompt_len)
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _mm(x[:, prompt_len - 1], params["lm_head"]).astype(jnp.float32)
+    return logits[0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"),
+                   donate_argnames=("cache",))
+def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
+                lengths, page_tables, interpret: Optional[bool] = None):
+    """One decode step for the whole running batch.
+
+    Args:
+      tokens: (batch,) int32 — the most recent token of each sequence.
+      lengths: (batch,) int32 — sequence length *including* these tokens.
+      page_tables: (batch, pages_per_seq) int32 (-1 padded).
+
+    Returns (logits (batch, vocab) fp32, cache).
+    """
+    cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
+                                v_pages=list(cache.v_pages),
+                                k_scales=list(cache.k_scales),
+                                v_scales=list(cache.v_scales))
+    batch = tokens.shape[0]
+    ps = cache.page_size
+    x = params["embed"][tokens][:, None, :]  # (batch, 1, dim)
+    pos = lengths - 1  # position of the current token
+
+    # Per-sequence rope rows, broadcast over heads.
+    inv_freq = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.d_head, 2, dtype=jnp.float32) / cfg.d_head))
+    angles = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, None, :]  # (batch, 1, 1, d/2)
+    sin = jnp.sin(angles)[:, None, None, :]
+
+    page_of_pos = jnp.take_along_axis(
+        page_tables, (pos // ps)[:, None], axis=1)[:, 0]  # (batch,)
+    slot_of_pos = pos % ps
+    flat_pos = page_of_pos * ps + slot_of_pos
+    first_page = page_tables[:, 0]  # scale owner for each sequence
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = _mm(h, layer["wq"]).reshape(batch, 1, cfg.n_heads, cfg.d_head)
+        k = _mm(h, layer["wk"]).reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
+        v = _mm(h, layer["wv"]).reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
+        q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)[:, :, 0]  # (b, H, d)
+        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)[:, :, 0]  # (b, h_kv, d)
+        v = v[:, 0]  # (b, h_kv, d)
+
+        if cache.mode != "dense":
+            # Each sequence quantizes with the scale calibrated at its own
+            # prefill (stored on its first page), and the page it is writing
+            # inherits that scale — newly grown pages get stamped here.
+            ks_seq = cache.k_scales[li][:, first_page]  # (kv_heads, batch)
+            vs_seq = cache.v_scales[li][:, first_page]
+            k_st = _quantize_rows(k, ks_seq.T[:, :, None], cache.mode)
+            v_st = _quantize_rows(v, vs_seq.T[:, :, None], cache.mode)
+            cache.k_scales[li] = cache.k_scales[li].at[:, page_of_pos].set(ks_seq)
+            cache.v_scales[li] = cache.v_scales[li].at[:, page_of_pos].set(vs_seq)
+        else:
+            k_st, v_st = k, v
+
+        def scatter(pages, rows):
+            kv_heads, num_pages, page_size, d_store = pages.shape
+            flat = pages.reshape(kv_heads, num_pages * page_size, d_store)
+            flat = flat.at[:, flat_pos].set(rows.transpose(1, 0, 2))
+            return flat.reshape(pages.shape)
+
+        cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
+        cache.v_pages[li] = scatter(cache.v_pages[li], v_st)
+
+        out = paged_decode_attention(
+            q, cache.k_pages[li], cache.v_pages[li], lengths, page_tables,
+            mode=cache.mode,
+            k_scales=None if cache.mode == "dense" else cache.k_scales[li],
+            v_scales=None if cache.mode == "dense" else cache.v_scales[li],
+            interpret=interpret,
+        )  # (batch, heads, d)
+        out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
+        x = x + _mm(out, layer["wo"])
+        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
+    return logits, cache
+
+
+def greedy_token(logits) -> jax.Array:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

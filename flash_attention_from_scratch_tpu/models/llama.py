@@ -19,8 +19,17 @@ import jax.numpy as jnp
 
 from ..ops.autodiff import flash_attention
 from ..ops.configs import DType, KernelConfig
+from ..ops.quant_matmul import QuantizedWeight, quant_matmul, quantize_weight
 
-__all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B"]
+__all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B",
+           "quantize_params", "init_quantized_params"]
+
+
+def _mm(x, w):
+    """Dense or weight-only-quantized matmul, by weight type."""
+    if isinstance(w, QuantizedWeight):
+        return quant_matmul(x, w)
+    return x @ w
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,6 +109,71 @@ def init_params(cfg: LlamaConfig, key) -> dict:
     return params
 
 
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params, mode: str = "int8", quantize_lm_head: bool = True):
+    """Weight-only quantization of every dense projection (norms/embed stay).
+
+    Returns a params pytree where 2-D projection weights are
+    :class:`QuantizedWeight`; the model dispatches through ``_mm``.
+    """
+    out = dict(params)
+    if quantize_lm_head:
+        out["lm_head"] = quantize_weight(params["lm_head"], mode)
+    out["layers"] = [
+        {k: (quantize_weight(v, mode) if k in _QUANT_KEYS else v)
+         for k, v in layer.items()}
+        for layer in params["layers"]
+    ]
+    return out
+
+
+def init_quantized_params(cfg: LlamaConfig, key, mode: str = "int8",
+                          quantize_lm_head: bool = True) -> dict:
+    """Random already-quantized params — for memory-bound benchmarks.
+
+    ``init_params`` + ``quantize_params`` needs the dense model in HBM first
+    (16 GB for Llama-3-8B — more than a v5e chip); this builds int8/int4
+    weights directly so an 8B decode benchmark fits a single chip.
+    """
+    dt = cfg.dtype.jnp_dtype
+    keys = jax.random.split(key, cfg.n_layers + 2)
+    kpack = 2 if mode == "int4" else 1
+
+    def qw(key, shape):
+        fan_in = shape[0]
+        vals = jax.random.randint(key, (shape[0] // kpack, shape[1]), -127, 128,
+                                  jnp.int8)
+        scale = jnp.full((shape[1],), 1.0 / (127.0 * math.sqrt(fan_in)),
+                         jnp.float32)
+        return QuantizedWeight(vals, scale, mode, dt)
+
+    q_dim = cfg.n_heads * cfg.d_head
+    kv_dim = cfg.n_kv_heads * cfg.d_head
+    params = {
+        "embed": _dense_init(keys[0], (cfg.vocab_size, cfg.dim), dt),
+        "final_norm": jnp.ones((cfg.dim,), dt),
+        "lm_head": (qw(keys[1], (cfg.dim, cfg.vocab_size)) if quantize_lm_head
+                    else _dense_init(keys[1], (cfg.dim, cfg.vocab_size), dt)),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        k = jax.random.split(keys[i + 2], 7)
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.dim,), dt),
+            "wq": qw(k[0], (cfg.dim, q_dim)),
+            "wk": qw(k[1], (cfg.dim, kv_dim)),
+            "wv": qw(k[2], (cfg.dim, kv_dim)),
+            "wo": qw(k[3], (q_dim, cfg.dim)),
+            "mlp_norm": jnp.ones((cfg.dim,), dt),
+            "w_gate": qw(k[4], (cfg.dim, cfg.hidden_dim)),
+            "w_up": qw(k[5], (cfg.dim, cfg.hidden_dim)),
+            "w_down": qw(k[6], (cfg.hidden_dim, cfg.dim)),
+        })
+    return params
+
+
 def rms_norm(x, weight, eps):
     x32 = x.astype(jnp.float32)
     norm = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
@@ -126,9 +200,9 @@ def apply_rope(x, cos, sin):
 
 def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
     b, s, _ = x.shape
-    q = (x @ layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
-    k = (x @ layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
-    v = (x @ layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    q = _mm(x, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    k = _mm(x, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+    v = _mm(x, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     # GQA is native to the kernel: Q head h reads KV head h // group via the
@@ -140,12 +214,12 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
     else:
         out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-    return out @ layer["wo"]
+    return _mm(out, layer["wo"])
 
 
 def _mlp(layer, x):
-    gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+    gate = jax.nn.silu(_mm(x, layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    return _mm(gate * _mm(x, layer["w_up"]), layer["w_down"])
 
 
 def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
@@ -157,7 +231,7 @@ def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
                            cfg, cos, sin, interpret=interpret, mesh=mesh)
         x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    return _mm(x, params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):

@@ -41,8 +41,9 @@ def _load_kv_block(ref, mode: str, compute_dtype):
     return ref[0, 0].astype(compute_dtype), None
 
 
-def _quant_kernel(cfg: KernelConfig, mode: str, scale: float, num_kv: int,
-                  q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
+                  num_kv: int,
+                  q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, o_ref,
                   acc_ref, m_ref, l_ref):
     kv_step = pl.program_id(3)
     qi = pl.program_id(2)
@@ -61,12 +62,16 @@ def _quant_kernel(cfg: KernelConfig, mode: str, scale: float, num_kv: int,
     # must match the array dims); index by grid position.
     k_scale = ks_ref[pl.program_id(0), pl.program_id(1)]
     v_scale = vs_ref[pl.program_id(0), pl.program_id(1)]
-    # Fold the K quantization scale into the softmax scale (one multiply that
-    # the online softmax does anyway).
+    # Fold the K (and, for FP8-QKV, the Q) quantization scale into the
+    # softmax scale — one multiply the online softmax does anyway.
     eff_scale = scale * k_scale
+    if q_quant:
+        eff_scale = eff_scale * qs_ref[pl.program_id(0), pl.program_id(1)]
 
     def compute():
         q = q_ref[0, 0]
+        if q_quant:
+            q = q.astype(compute_dtype)
         k_lo, k_hi = _load_kv_block(k_ref, mode, compute_dtype)
         if k_hi is not None:  # int4: two contiguous half-d matmuls
             d2 = cfg.d_head // 2
@@ -135,6 +140,7 @@ def _quant_kernel(cfg: KernelConfig, mode: str, scale: float, num_kv: int,
 
 @functools.lru_cache(maxsize=256)
 def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
+                      q_dtype_name: str, q_quant: bool,
                       scale: float, batch: int, heads: int,
                       seq_q: int, seq_kv: int, interpret: bool):
     num_q = seq_q // cfg.block_q
@@ -147,7 +153,9 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
         blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
         return (b, h, blk, 0)
 
-    kernel = functools.partial(_quant_kernel, cfg, mode, scale, num_kv)
+    smem_spec = pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(_quant_kernel, cfg, mode, q_quant, scale, num_kv)
     call = pl.pallas_call(
         kernel,
         grid=(batch, heads, num_q, num_kv),
@@ -158,10 +166,9 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cfg.block_kv, d_store), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
-                         memory_space=pltpu.SMEM),
+            smem_spec,
+            smem_spec,
+            smem_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
                                lambda b, h, qi, ki: (b, h, qi, 0),
@@ -188,34 +195,44 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
         ),
         interpret=interpret,
     )
-    return jax.jit(lambda q, kv_, vv_, ks, vs: call(q, kv_, vv_, ks, vs))
+    return jax.jit(
+        lambda q, kv_, vv_, qs, ks, vs: call(q, kv_, vv_, qs, ks, vs))
 
 
 def flash_forward_quantized(q, k: QTensor, v: QTensor,
                             cfg: KernelConfig | None = None, *,
                             scale: float | None = None,
                             interpret: bool | None = None):
-    """softmax(Q K^T * scale) V with quantized K/V and fused dequant.
+    """softmax(Q K^T * scale) V with quantized Q/K/V and fused dequant.
 
-    ``q`` is a dense (b, h, s, d) array in ``cfg.dtype``; ``k``/``v`` are
-    :class:`QTensor` (same mode). Scales must be per-(batch, head).
+    ``k``/``v`` are :class:`QTensor` (same mode); ``q`` is either a dense
+    (b, h, s, d) array in ``cfg.dtype`` or a :class:`QTensor` for the full
+    FP8-QKV path — its per-(batch, head) scale folds into the softmax scale
+    alongside K's.
     """
     if k.mode != v.mode:
         raise ValueError(f"K/V quant modes differ: {k.mode} vs {v.mode}")
+    q_quant = isinstance(q, QTensor)
+    if q_quant and q.mode == "int4":
+        raise ValueError("int4 Q unsupported: quantize Q as fp8 or int8")
+    q_vals = q.values if q_quant else q
+    q_scales = (q.scales if q_quant
+                else jnp.ones((q_vals.shape[0], q_vals.shape[1])))
     if cfg is None:
-        cfg = KernelConfig(dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1])
+        dt = DType.from_jnp(q.orig_dtype if q_quant else q.dtype)
+        cfg = KernelConfig(dtype=dt, d_head=q_vals.shape[-1])
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    batch, heads, seq_q, d = q.shape
+    batch, heads, seq_q, d = q_vals.shape
     seq_kv = k.seq_len
     if seq_q % cfg.block_q or seq_kv % cfg.block_kv:
         raise ValueError(
             f"seq ({seq_q}, {seq_kv}) not tileable by ({cfg.block_q}, {cfg.block_kv})"
         )
-    fn = _build_quant_call(cfg, k.mode, str(k.values.dtype), float(scale),
+    fn = _build_quant_call(cfg, k.mode, str(k.values.dtype),
+                           str(q_vals.dtype), q_quant, float(scale),
                            batch, heads, seq_q, seq_kv, interpret)
-    ks = k.scales.astype(jnp.float32)
-    vs = v.scales.astype(jnp.float32)
-    return fn(q, k.values, v.values, ks, vs)
+    return fn(q_vals, k.values, v.values, q_scales.astype(jnp.float32),
+              k.scales.astype(jnp.float32), v.scales.astype(jnp.float32))

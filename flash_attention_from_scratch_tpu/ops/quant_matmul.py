@@ -1,0 +1,198 @@
+"""Weight-only quantized matmul: INT8 / packed-INT4 weights, bf16 activations.
+
+Extension beyond the reference (BASELINE north star "INT4 weight-only
+matmuls"): decode-time dense layers are HBM-bound on *weights*, so halving /
+quartering the weight stream is a direct speedup — and it is what lets
+Llama-3-8B fit a single 16 GB v5e chip at all. Dequantization never touches
+HBM:
+
+- Weights are stored per-output-channel symmetric: ``values (K, N)`` int8
+  (or ``(K//2, N)`` for INT4, half-split along K: byte (k, n) packs
+  W[k, n] in the low nibble and W[k + K/2, n] in the high nibble), plus
+  ``scales (N,)`` fp32.
+- The kernel streams weight tiles HBM->VMEM through the Pallas pipeline,
+  upconverts on the VPU, matmuls on the MXU with fp32 accumulation, and
+  folds the per-channel scale into the output tile once at the last K step.
+- INT4's half-split layout means the kernel feeds two *contiguous* x tiles
+  (rows k and k + K/2) to two matmuls — no stride-2 relayout, the same
+  trick as the KV int4 packing (``quant.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import unpack_int4_halves
+
+__all__ = ["QuantizedWeight", "quantize_weight", "quant_matmul"]
+
+_QMAX = {"int8": 127.0, "int4": 7.0}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight:
+    """values (K, N) int8 (int4: (K//2, N) packed) + per-column scales (N,)."""
+
+    values: jax.Array
+    scales: jax.Array
+    mode: str
+    orig_dtype: object = jnp.bfloat16
+
+    def tree_flatten(self):
+        return (self.values, self.scales), (self.mode, self.orig_dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def k_dim(self) -> int:
+        return self.values.shape[0] * (2 if self.mode == "int4" else 1)
+
+    @property
+    def shape(self):
+        return (self.k_dim, self.values.shape[1])
+
+    def dequantize(self):
+        if self.mode == "int4":
+            lo, hi = unpack_int4_halves(self.values, jnp.float32)
+            w = jnp.concatenate([lo, hi], axis=0)
+        else:
+            w = self.values.astype(jnp.float32)
+        return (w * self.scales[None, :]).astype(self.orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def quantize_weight(w, mode: str = "int8") -> QuantizedWeight:
+    """Symmetric per-output-channel quantization of a (K, N) weight."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / _QMAX[mode], 1e-12)
+    q = jnp.round(wf / scale[None, :])
+    if mode == "int8":
+        vals = jnp.clip(q, -127, 127).astype(jnp.int8)
+    elif mode == "int4":
+        q = jnp.clip(q, -7, 7).astype(jnp.int8)
+        k = q.shape[0]
+        lo = q[: k // 2] & 0x0F
+        hi = q[k // 2:] & 0x0F
+        vals = (lo | (hi << 4)).astype(jnp.int8)
+    else:
+        raise ValueError(f"unknown weight quant mode {mode!r}")
+    return QuantizedWeight(vals, scale, mode, w.dtype)
+
+
+def _qmm_kernel(mode: str, num_k: int, compute_dtype,
+                x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if mode == "int4":
+        lo, hi = unpack_int4_halves(w_ref[...], compute_dtype)
+        acc_ref[...] += jax.lax.dot_general(
+            x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        w = w_ref[...].astype(compute_dtype)
+        acc_ref[...] += jax.lax.dot_general(
+            x_lo_ref[...], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_qmm(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
+               bm: int, bk: int, bn: int, interpret: bool):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    k_eff = k // 2 if mode == "int4" else k  # stored K rows
+    num_k = k_eff // bk
+    kernel = functools.partial(_qmm_kernel, mode, num_k, compute_dtype)
+
+    # INT4 feeds two x tiles per step: rows [ki*bk, ...) and the same block
+    # K/2 later. INT8 wires both specs to the same block (the second load is
+    # redundant but free: identical index map -> same VMEM window reused).
+    def x_lo_idx(i, j, ki):
+        return (i, ki)
+
+    if mode == "int4":
+        def x_hi_idx(i, j, ki):
+            return (i, ki + num_k)
+    else:
+        x_hi_idx = x_lo_idx
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, num_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), compute_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + k_eff * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(lambda x, w, s: call(x, x, w, s))
+
+
+def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
+                 block_k: int = 512, block_n: int = 512,
+                 interpret: bool | None = None):
+    """``x @ W`` with W stored int8/int4, dequant fused into the kernel.
+
+    ``x``: (..., K) activations (bf16/fp32); returns (..., N) in x's dtype.
+    Small/ragged shapes fall back to a fused XLA dequant-matmul (the kernel
+    wants MXU-aligned tiles; decode's tiny M is bandwidth-bound either way).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k, n = wq.shape
+    lead = x.shape[:-1]
+    m = 1
+    for dim in lead:
+        m *= dim
+    x2 = x.reshape(m, k)
+
+    k_eff = k // 2 if wq.mode == "int4" else k
+    bm = min(block_m, m)
+    bk = min(block_k, k_eff)
+    bn = min(block_n, n)
+    aligned = (m % bm == 0 and k_eff % bk == 0 and n % bn == 0
+               and bm % 8 == 0 and bk % 128 == 0 and bn % 128 == 0)
+    if not aligned:
+        out = (x2.astype(jnp.float32) @ wq.dequantize().astype(jnp.float32))
+        return out.astype(x.dtype).reshape(*lead, n)
+
+    fn = _build_qmm(m, k, n, wq.mode, str(x.dtype), bm, bk, bn, interpret)
+    scales = wq.scales.reshape(1, n).astype(jnp.float32)
+    return fn(x2, wq.values, scales).reshape(*lead, n)

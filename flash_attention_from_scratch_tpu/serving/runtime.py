@@ -130,6 +130,11 @@ class PagedEngine:
         return [buf[i] for i in range(min(n, cap))]
 
     @property
+    def running(self) -> int:
+        """Number of sequences in the current batch."""
+        return self._lib.fa_engine_batch_size(self._h)
+
+    @property
     def free_pages(self) -> int:
         return self._lib.fa_engine_free_pages(self._h)
 

@@ -1,0 +1,135 @@
+"""Decode throughput benchmark: Llama with quantized weights + paged KV.
+
+The BASELINE north-star serving metric (Llama-3-8B, INT8 KV decode,
+tokens/s/chip) against an HBM roofline: decode is bandwidth-bound, so the
+ceiling is ``HBM_bw / bytes_moved_per_token`` where bytes = quantized weight
+stream + the KV window each step reads + writes. Random weights are
+generated directly in int8 (``init_quantized_params``) — the dense 8B model
+would not fit a 16 GB chip, which is the point of the quantized path.
+
+Usage:
+    python -m flash_attention_from_scratch_tpu.tools.bench_decode \
+        --model 8b --batch 16 --context 1024 --steps 32 --kv int8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dispatch import sync
+from ..models.decode import decode_step, init_cache
+from ..models.llama import LLAMA3_8B, LlamaConfig, init_quantized_params, init_params
+from ..utils.chip import device_kind, hbm_gbps
+
+__all__ = ["main"]
+
+MODELS = {
+    "8b": LLAMA3_8B,
+    "1b": LlamaConfig(vocab_size=128256, dim=2048, n_layers=16, n_heads=16,
+                      n_kv_heads=8, d_head=128, hidden_dim=8192),
+    "tiny": LlamaConfig(vocab_size=2048, dim=512, n_layers=4, n_heads=4,
+                        n_kv_heads=2, d_head=128, hidden_dim=2048),
+}
+
+
+def _param_bytes(params):
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="8b", choices=sorted(MODELS))
+    ap.add_argument("--weights", default="int8",
+                    choices=["int8", "int4", "bf16"])
+    ap.add_argument("--kv", default="int8",
+                    choices=["dense", "int8", "fp8"])
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--context", type=int, default=1024,
+                    help="KV tokens already in cache per sequence")
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    cfg = MODELS[args.model]
+    key = jax.random.PRNGKey(0)
+    if args.weights == "bf16":
+        params = init_params(cfg, key)
+    else:
+        params = init_quantized_params(cfg, key, args.weights)
+    pbytes = _param_bytes(params)
+
+    pages_per_seq = -(-(args.context + args.steps + args.warmup + 1)
+                      // args.page_size)
+    num_pages = args.batch * pages_per_seq + 1
+    cache = init_cache(cfg, num_pages, args.page_size, args.kv)
+    cbytes = cache.nbytes()
+    print(f"device={device_kind()} params={pbytes/1e9:.2f} GB "
+          f"cache={cbytes/1e9:.2f} GB pages={num_pages}", file=sys.stderr)
+
+    # Page tables: sequence i owns pages [i*pps, (i+1)*pps).
+    tables = np.arange(args.batch * pages_per_seq, dtype=np.int32).reshape(
+        args.batch, pages_per_seq)
+    tables_j = jnp.asarray(tables)
+    lengths0 = np.full(args.batch, args.context, np.int32)
+    tokens = jnp.zeros(args.batch, jnp.int32)
+
+    def step(cache, lengths):
+        logits, cache = decode_step(params, tokens, cfg, cache,
+                                    lengths, tables_j, interpret=False)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+    # Warmup (compiles; also fills a few cache slots).
+    lengths = lengths0.copy()
+    for _ in range(args.warmup):
+        lengths += 1
+        tokens, cache = step(cache, jnp.asarray(lengths))
+    sync(tokens)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        lengths += 1
+        tokens, cache = step(cache, jnp.asarray(lengths))
+    sync(tokens)
+    dt = time.perf_counter() - t0
+
+    toks = args.batch * args.steps
+    tps = toks / dt
+    ms_per_step = dt / args.steps * 1e3
+
+    # HBM roofline: per step the chip reads all weights once (batch amortizes
+    # the weight stream across sequences) plus each sequence's KV window.
+    kv_bytes_per_tok = cache.k_pages[0].dtype.itemsize * cfg.d_head * 2
+    mean_ctx = args.context + args.warmup + args.steps / 2
+    kv_read = args.batch * mean_ctx * cfg.n_kv_heads * cfg.n_layers * kv_bytes_per_tok
+    step_bytes = pbytes + kv_read
+    roofline_tps = hbm_gbps() * 1e9 / step_bytes * args.batch
+    print(json.dumps({
+        "metric": f"decode_tokens_per_s_{args.model}_w{args.weights}_kv{args.kv}",
+        "value": round(tps, 2),
+        "unit": "tokens/s/chip",
+        "ms_per_step": round(ms_per_step, 3),
+        "batch": args.batch,
+        "context": args.context,
+        "tokens_per_s_per_seq": round(tps / args.batch, 2),
+        "hbm_roofline_tokens_per_s": round(roofline_tps, 2),
+        "pct_of_roofline": round(100 * tps / roofline_tps, 2),
+        "param_gb": round(pbytes / 1e9, 3),
+        "cache_gb": round(cbytes / 1e9, 3),
+        "device": device_kind(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""End-to-end continuous-batching generation vs naive full recompute.
+
+The strongest correctness check in the repo: the paged decode kernel, the
+prefill scatter, rope positioning, GQA, the native scheduler, and the
+padding logic all have to agree for the server's greedy tokens to match a
+token-by-token full forward pass of the same model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_from_scratch_tpu.models.llama import (
+    LlamaConfig, forward, init_params,
+)
+from flash_attention_from_scratch_tpu.serving.generate import GenerationServer
+
+CFG = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                  n_kv_heads=1, d_head=128, hidden_dim=256,
+                  block_q=128, block_kv=128)
+
+
+def _naive_logits(params, tokens):
+    """Full-recompute logits at the last real position."""
+    s = len(tokens)
+    pad = s + (-s) % 128
+    arr = np.zeros((1, pad), np.int32)
+    arr[0, :s] = tokens
+    return forward(params, jnp.asarray(arr), CFG)[0, s - 1]
+
+
+def _check_greedy_path(params, prompt, generated, slack):
+    """Each served token must be a top-scoring choice of the naive model.
+
+    Exact argmax equality is too strict in bf16 (random-model logits tie
+    within one ulp); instead teacher-force the server's tokens through the
+    dense model and require each one's logit within ``slack`` of the max.
+    """
+    tokens = list(prompt)
+    for g in generated:
+        logits = _naive_logits(params, tokens)
+        gap = float(logits.max() - logits[g])
+        assert gap <= slack, (tokens, g, int(jnp.argmax(logits)), gap)
+        tokens.append(g)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("mode", ["dense", "int8"])
+def test_server_matches_naive(params, mode):
+    prompts = {
+        1: list(range(10, 30)),       # 20 tokens
+        2: list(range(40, 45)),       # 5 tokens
+        3: list(range(7, 40)),        # 33 tokens
+    }
+    n_new = 4
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=4, pages_per_seq=8, mode=mode)
+    for sid, p in prompts.items():
+        server.submit(sid, p, n_new)
+    got = server.run()
+
+    slack = 0.05 if mode == "dense" else 0.35  # int8 K/V rounding widens gaps
+    for sid, p in prompts.items():
+        assert len(got[sid]) == n_new, (sid, got[sid])
+        _check_greedy_path(params, p, got[sid], slack)
+
+
+def test_oversubscribed_pool_preempts_and_finishes(params):
+    """More work than pages: scheduler must preempt and still drain."""
+    server = GenerationServer(params, CFG, num_pages=9, page_size=64,
+                              max_batch=3, pages_per_seq=4)
+    for sid in range(5):
+        server.submit(sid, list(range(8, 72)), 3)  # 64-token prompts
+    got = server.run()
+    assert all(len(v) == 3 for v in got.values()), got

@@ -1,0 +1,116 @@
+"""Paged decode attention vs a masked dense reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_from_scratch_tpu.ops.paged_attention import (
+    paged_decode_attention,
+)
+
+
+def _make_paged_cache(key, batch, kv_heads, lengths, page_size, num_pages, d,
+                      dtype=jnp.bfloat16):
+    """Random contiguous K/V per sequence scattered into a page pool.
+
+    Returns (k_pages, v_pages, page_tables, k_dense, v_dense) where the dense
+    copies are (batch, kv_heads, max_len, d) zero-padded past each length.
+    """
+    max_len = max(lengths)
+    pages_per_seq = -(-max_len // page_size)
+    kd, vd = jax.random.normal(key, (2, batch, kv_heads, max_len, d), jnp.float32)
+    k_dense = kd.astype(dtype)
+    v_dense = vd.astype(dtype)
+
+    k_pages = np.zeros((kv_heads, num_pages, page_size, d), np.float32)
+    v_pages = np.zeros_like(k_pages)
+    page_tables = -np.ones((batch, pages_per_seq), np.int32)
+    next_page = 0
+    for b in range(batch):
+        n = -(-lengths[b] // page_size)
+        for i in range(n):
+            page_tables[b, i] = next_page
+            lo = i * page_size
+            hi = min(lo + page_size, lengths[b])
+            k_pages[:, next_page, : hi - lo] = np.asarray(
+                k_dense[b, :, lo:hi], np.float32)
+            v_pages[:, next_page, : hi - lo] = np.asarray(
+                v_dense[b, :, lo:hi], np.float32)
+            next_page += 1
+    assert next_page <= num_pages
+    return (jnp.asarray(k_pages, dtype), jnp.asarray(v_pages, dtype),
+            jnp.asarray(page_tables), k_dense, v_dense)
+
+
+def _dense_reference(q, k_dense, v_dense, lengths):
+    """Masked softmax attention; q (batch, heads, d)."""
+    batch, heads, d = q.shape
+    kv_heads = k_dense.shape[1]
+    group = heads // kv_heads
+    k = jnp.repeat(k_dense, group, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_dense, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), k) / jnp.sqrt(1.0 * d)
+    mask = jnp.arange(k.shape[2])[None, None, :] < jnp.asarray(lengths)[:, None, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bhkd->bhd", p, v)
+
+
+@pytest.mark.parametrize("lengths", [[128, 333, 256], [1, 17, 512]])
+def test_paged_decode_dense(lengths):
+    batch, kv_heads, heads, d, page_size, num_pages = len(lengths), 2, 4, 128, 128, 16
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
+    out = paged_decode_attention(q, k_pages, v_pages,
+                                 jnp.asarray(lengths), pt)
+    ref = _dense_reference(q, k_dense, v_dense, lengths)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 3e-2, float(err)
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8", "int4"])
+def test_paged_decode_quantized(mode):
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv
+
+    if mode == "int4" and jax.default_backend() != "cpu":
+        pytest.xfail("int4 paged pages need a 128-lane layout (see kernel note)")
+
+    lengths = [256, 128]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 8, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
+
+    # Quantize each page with quantize_kv's per-(b,h) path by treating the
+    # page pool as (kv_heads, num_pages) "batch x head": transpose so the
+    # scale axis matches, then lay values back out per page.
+    def quant_pages(pages):
+        qt = quantize_kv(pages.reshape(kv_heads, num_pages, page_size, d), mode)
+        return qt.values, qt.scales  # values (kv_heads, num_pages, ps, d'), scales (kv_heads, num_pages)
+
+    kq, ks = quant_pages(k_pages)
+    vq, vs = quant_pages(v_pages)
+    out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                 mode=mode, k_scales=ks, v_scales=vs)
+    ref = _dense_reference(q, k_dense, v_dense, lengths)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    tol = {"int8": 0.06, "fp8": 0.08, "int4": 0.35}[mode]
+    assert err < tol, f"{mode}: {float(err)}"
+
+
+def test_paged_decode_group1():
+    """MHA decode (group == 1)."""
+    lengths = [128, 256]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 2, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
+    out = paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths), pt)
+    ref = _dense_reference(q, k_dense, v_dense, lengths)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 3e-2, float(err)

@@ -86,6 +86,21 @@ def test_causal_quantized():
     assert err <= 2e-2, err
 
 
+def test_fp8_qkv():
+    """Full FP8-QKV path: Q's scale folds into the softmax scale."""
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    qq = quantize_kv(q, "fp8")
+    kq, vq = quantize_kv(k, "fp8"), quantize_kv(v, "fp8")
+    out = flash_forward_quantized(qq, kq, vq, CFG)
+    ref = reference_attention(dequantize(qq), dequantize(kq), dequantize(vq))
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    assert err <= 8e-3, err
+    # And vs the unquantized oracle the fp8 noise band holds.
+    ref_full = reference_attention(q, k, v)
+    err2 = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref_full.astype(jnp.float32))))
+    assert err2 <= 0.08, err2
+
+
 def test_mode_mismatch_rejected():
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
     with pytest.raises(ValueError):
