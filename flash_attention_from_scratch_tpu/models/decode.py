@@ -54,7 +54,8 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.k_pages[0].shape[2]
+        rows = self.k_pages[0].shape[2]
+        return rows * 2 if self.mode == KVQuantMode.INT4 else rows
 
     @property
     def num_pages(self) -> int:
@@ -68,16 +69,17 @@ class PagedKVCache:
 def init_cache(cfg: LlamaConfig, num_pages: int, page_size: int,
                mode: str = "dense") -> PagedKVCache:
     if mode == "dense":
-        store_dtype, d_store = cfg.dtype.jnp_dtype, cfg.d_head
+        store_dtype, rows = cfg.dtype.jnp_dtype, page_size
     elif mode == KVQuantMode.INT8:
-        store_dtype, d_store = jnp.int8, cfg.d_head
+        store_dtype, rows = jnp.int8, page_size
     elif mode == KVQuantMode.INT4:
-        store_dtype, d_store = jnp.int8, cfg.d_head // 2
+        # Sublane-packed: byte (t, c) = token t (lo) / token t+ps/2 (hi).
+        store_dtype, rows = jnp.int8, page_size // 2
     elif mode == KVQuantMode.FP8:
-        store_dtype, d_store = jnp.float8_e4m3fn, cfg.d_head
+        store_dtype, rows = jnp.float8_e4m3fn, page_size
     else:
         raise ValueError(f"unknown cache mode {mode!r}")
-    shape = (cfg.n_kv_heads, num_pages, page_size, d_store)
+    shape = (cfg.n_kv_heads, num_pages, rows, cfg.d_head)
     return PagedKVCache(
         [jnp.zeros(shape, store_dtype) for _ in range(cfg.n_layers)],
         [jnp.zeros(shape, store_dtype) for _ in range(cfg.n_layers)],
@@ -90,16 +92,16 @@ def init_cache(cfg: LlamaConfig, num_pages: int, page_size: int,
 
 
 def _quantize_rows(x, scale, mode: str):
-    """Quantize (..., d) rows with a broadcastable symmetric scale."""
+    """Quantize (..., d) rows with a broadcastable symmetric scale.
+
+    INT4 returns *unpacked* nibble values in [-7, 7] (one int8 per element);
+    packing is page-layout specific and done by the cache writers.
+    """
     xf = x.astype(jnp.float32) / scale
     if mode == KVQuantMode.INT8:
         return jnp.clip(jnp.round(xf), -127, 127).astype(jnp.int8)
     if mode == KVQuantMode.INT4:
-        q = jnp.clip(jnp.round(xf), -7, 7).astype(jnp.int8)
-        d = q.shape[-1]
-        lo = q[..., : d // 2] & 0x0F
-        hi = q[..., d // 2:] & 0x0F
-        return (lo | (hi << 4)).astype(jnp.int8)
+        return jnp.clip(jnp.round(xf), -7, 7).astype(jnp.int8)
     if mode == KVQuantMode.FP8:
         return xf.astype(jnp.float8_e4m3fn)
     return x
@@ -136,6 +138,23 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
             jnp.broadcast_to(ks[:, None], (ks.shape[0], n_used)))
         cache.v_scales[li] = cache.v_scales[li].at[:, used].set(
             jnp.broadcast_to(vs[:, None], (vs.shape[0], n_used)))
+
+    if cache.mode == KVQuantMode.INT4:
+        # Whole-page writes: pad the prompt to n_used full pages, pair token
+        # t with token t + ps/2 of the same page into one byte row.
+        def scatter4(pages, vals):
+            kv_heads = vals.shape[0]
+            padded = jnp.zeros((kv_heads, n_used * ps, vals.shape[-1]), jnp.int8)
+            padded = padded.at[:, :prompt_len].set(vals)
+            by_page = padded.reshape(kv_heads, n_used, ps, -1)
+            lo = by_page[:, :, : ps // 2] & 0x0F
+            hi = by_page[:, :, ps // 2:] & 0x0F
+            packed = (lo | (hi << 4)).astype(jnp.int8)
+            return pages.at[:, page_table[:n_used]].set(packed)
+
+        cache.k_pages[li] = scatter4(cache.k_pages[li], k)
+        cache.v_pages[li] = scatter4(cache.v_pages[li], v)
+        return cache
 
     def scatter(pages, rows):
         kv_heads, num_pages, page_size, d_store = pages.shape
@@ -248,11 +267,25 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         else:
             k_st, v_st = k, v
 
-        def scatter(pages, rows):
-            kv_heads, num_pages, page_size, d_store = pages.shape
-            flat = pages.reshape(kv_heads, num_pages * page_size, d_store)
-            flat = flat.at[:, flat_pos].set(rows.transpose(1, 0, 2))
-            return flat.reshape(pages.shape)
+        if cache.mode == KVQuantMode.INT4:
+            # Nibble read-modify-write on the sublane-packed page byte.
+            half = ps // 2
+            byte_pos = page_of_pos * half + (slot_of_pos % half)  # (batch,)
+            is_hi = (slot_of_pos >= half)[None, :, None]
+
+            def scatter(pages, rows):
+                flat = pages.reshape(cfg.n_kv_heads, -1, pages.shape[-1])
+                old = flat[:, byte_pos]  # (kv_heads, batch, d)
+                q4 = rows.transpose(1, 0, 2) & 0x0F
+                lo_w = (old & jnp.int8(-16)) | q4           # replace lo nibble
+                hi_w = (old & jnp.int8(0x0F)) | (q4 << 4)   # replace hi nibble
+                flat = flat.at[:, byte_pos].set(jnp.where(is_hi, hi_w, lo_w))
+                return flat.reshape(pages.shape)
+        else:
+            def scatter(pages, rows):
+                flat = pages.reshape(cfg.n_kv_heads, -1, pages.shape[-1])
+                flat = flat.at[:, flat_pos].set(rows.transpose(1, 0, 2))
+                return flat.reshape(pages.shape)
 
         cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
         cache.v_pages[li] = scatter(cache.v_pages[li], v_st)

@@ -2,25 +2,32 @@
 
 Extension beyond the reference (whose kernel is prefill-only with contiguous
 equal-length Q/K/V — ``README.md:7-16``): the serving hot path. Decode
-attention is HBM-bandwidth-bound (every step streams the whole KV cache for
-one token of Q), so the kernel's job is to stream pages at full bandwidth:
+attention is HBM-bandwidth-bound (every step streams the whole KV window for
+one token of Q), so the kernel's only job is to stream pages at full
+bandwidth:
 
 - The KV cache lives in HBM as fixed-size pages
   ``(n_kv_heads, num_pages, page_size, d_head)`` owned by the native
-  continuous-batching engine (``csrc/paged_runtime.cpp``); the kernel walks
-  each sequence's page table with double-buffered ``make_async_copy`` DMAs —
-  compute on page i overlaps the fetch of page i+1.
-- Page tables and sequence lengths ride ``PrefetchScalarGridSpec`` so the
-  DMA addresses are known before the kernel body runs.
-- GQA-native: grid is (batch, n_kv_heads); each step attends the whole
-  group of Q heads (a ``(group, page_size)`` score tile) against its shared
-  KV head. Q is pre-reshaped to (batch, n_kv_heads, group, d).
-- Quantized cache modes (the BASELINE north-star decode target): INT8,
-  packed-INT4 (half-split, see ``quant.py``) and FP8-e4m3 pages with
-  per-(kv_head, page) fp32 scales, dequantized in VMEM after the DMA — the
-  HBM stream is 2-4x smaller, which is a direct decode speedup.
-- fp32 online softmax with the exp2 trick, length-masked on the last
-  partial page.
+  continuous-batching engine (``csrc/paged_runtime.cpp``); page tables and
+  sequence lengths ride ``PrefetchScalarGridSpec`` so DMA addresses are
+  known up front.
+- **Cross-program pipelining**: grid steps on TPU run sequentially, and
+  VMEM scratch persists across them — so each (batch, kv_head) program
+  bursts ALL of the *next* program's page DMAs while computing on its own
+  buffered pages (started one step earlier). Without this, every one of the
+  batch x kv_heads x layers programs pays the full DMA latency as a bubble;
+  with it the page stream never stalls.
+- One masked softmax over the whole buffered window (group x max_kv tile)
+  instead of an online per-page loop — decode tiles are tiny, the VPU pass
+  is cheap, and it removes the serial dependency chain.
+- GQA-native: each program attends the whole Q-head group of its KV head.
+- Quantized cache modes: INT8 / FP8-e4m3 pages, and sublane-packed INT4
+  (byte (t, c) = token t lo nibble / token t + page_size/2 hi nibble —
+  keeps the page's lane dim 128-wide so per-page DMA slices stay legal).
+  Per-(kv_head, page) scales are folded into the dequant upcast.
+
+A fallback per-page online-softmax variant (same math, chunked) covers
+windows too long for whole-sequence VMEM buffering.
 """
 
 from __future__ import annotations
@@ -38,17 +45,144 @@ from .quant import unpack_int4_halves
 
 __all__ = ["paged_decode_attention"]
 
+# Whole-sequence K+V double buffers must fit comfortably in VMEM.
+_FULL_VARIANT_VMEM_CAP = 8 * 1024 * 1024
 
-def _decode_kernel(page_size: int, d: int, mode: str, scale: float,
-                   compute_dtype,
-                   # scalar prefetch (SMEM: arbitrary scalar indexing)
-                   lengths_ref, pt_ref, ks_ref, vs_ref,
-                   # inputs
-                   q_ref, k_hbm, v_hbm,
-                   # outputs
-                   o_ref,
-                   # scratch
-                   k_buf, v_buf, sems):
+
+def _scale_col_blocks(x, scales, block: int):
+    """Multiply (group, n*block) column blocks by per-block scalars."""
+    parts = [x[:, i * block:(i + 1) * block] * s for i, s in enumerate(scales)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _full_kernel(page_size: int, d: int, mode: str, scale: float,
+                 compute_dtype, max_pages: int,
+                 # scalar prefetch
+                 lengths_ref, pt_ref, ks_ref, vs_ref,
+                 # inputs
+                 q_ref, k_hbm, v_hbm,
+                 # outputs
+                 o_ref,
+                 # scratch
+                 k_buf, v_buf, sems):
+    b = pl.program_id(0)
+    hk = pl.program_id(1)
+    nh = pl.num_programs(1)
+    step = b * nh + hk
+    total = pl.num_programs(0) * nh
+    slot = jax.lax.rem(step, 2)
+    rows = page_size // 2 if mode == "int4" else page_size
+
+    def n_pages_of(bb):
+        return pl.cdiv(lengths_ref[bb], page_size)
+
+    def page_dmas(slot_idx, bb, hh):
+        for i in range(max_pages):
+            page = pt_ref[bb, i]
+            yield i, (
+                pltpu.make_async_copy(k_hbm.at[hh, page],
+                                      k_buf.at[slot_idx,
+                                               pl.ds(i * rows, rows)],
+                                      sems.at[0, slot_idx, i]),
+                pltpu.make_async_copy(v_hbm.at[hh, page],
+                                      v_buf.at[slot_idx,
+                                               pl.ds(i * rows, rows)],
+                                      sems.at[1, slot_idx, i]),
+            )
+
+    def start_all(slot_idx, bb, hh):
+        npg = n_pages_of(bb)
+        for i, (kd, vd) in page_dmas(slot_idx, bb, hh):
+            @pl.when(i < npg)
+            def _():
+                kd.start()
+                vd.start()
+
+    def wait_all(slot_idx, bb, hh):
+        npg = n_pages_of(bb)
+        for i, (kd, vd) in page_dmas(slot_idx, bb, hh):
+            @pl.when(i < npg)
+            def _():
+                kd.wait()
+                vd.wait()
+
+    # Warmup: the very first program bursts its own pages.
+    @pl.when(step == 0)
+    def _():
+        start_all(0, b, hk)
+
+    # Pipeline: burst the NEXT program's pages before computing on ours.
+    @pl.when(step + 1 < total)
+    def _():
+        nxt = step + 1
+        start_all(jax.lax.rem(nxt, 2), nxt // nh, jax.lax.rem(nxt, nh))
+
+    wait_all(slot, b, hk)
+
+    length = lengths_ref[b]
+    q = q_ref[0, 0]  # (group, d)
+
+    if mode == "int4":
+        # Sublane-packed pages: lo nibbles are each page's tokens
+        # [0, ps/2), hi nibbles tokens [ps/2, ps). Working in "half order"
+        # (all lo rows, then all hi rows) avoids any interleave — softmax is
+        # permutation-invariant as long as K rows, V rows, and the mask
+        # positions agree.
+        k_lo, k_hi = unpack_int4_halves(k_buf[slot], compute_dtype)
+        v_lo, v_hi = unpack_int4_halves(v_buf[slot], compute_dtype)
+        k_all = jnp.concatenate([k_lo, k_hi], axis=0)
+        v_all = jnp.concatenate([v_lo, v_hi], axis=0)
+    elif mode == "dense":
+        k_all = k_buf[slot]
+        v_all = v_buf[slot]
+    else:
+        k_all = k_buf[slot].astype(compute_dtype)
+        v_all = v_buf[slot].astype(compute_dtype)
+
+    s = jax.lax.dot_general(
+        q, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * (scale * LOG2E)
+
+    if mode != "dense":
+        # Clamp -1 page-table padding: masked columns only need a safe read.
+        safe = [jnp.maximum(pt_ref[b, i], 0) for i in range(max_pages)]
+        k_sc = [ks_ref[hk, p] for p in safe]
+        v_sc = [vs_ref[hk, p] for p in safe]
+        if mode == "int4":
+            k_sc, v_sc = k_sc + k_sc, v_sc + v_sc  # lo blocks then hi blocks
+        s = _scale_col_blocks(s, k_sc, rows)
+
+    # Token position of each score column (half-order aware for int4).
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if mode == "int4":
+        half = page_size // 2
+        n_half = max_pages * half
+        c2 = jax.lax.rem(col, n_half)
+        pos = (c2 // half) * page_size + jax.lax.rem(c2, half)
+        pos = pos + jnp.where(col >= n_half, half, 0)
+    else:
+        pos = col
+    s = jnp.where(pos < length, s, MASK_VALUE)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if mode != "dense":
+        p = _scale_col_blocks(p, v_sc, rows)
+    pv = jax.lax.dot_general(
+        p.astype(compute_dtype), v_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+
+
+def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
+                 compute_dtype,
+                 lengths_ref, pt_ref, ks_ref, vs_ref,
+                 q_ref, k_hbm, v_hbm,
+                 o_ref,
+                 k_buf, v_buf, sems):
+    """Fallback: per-page online softmax, double-buffered within the program."""
     b = pl.program_id(0)
     hk = pl.program_id(1)
     length = lengths_ref[b]
@@ -66,17 +200,9 @@ def _decode_kernel(page_size: int, d: int, mode: str, scale: float,
     k0.start()
     v0.start()
 
-    q = q_ref[0, 0]  # (group, d)
+    q = q_ref[0, 0]
     group = q.shape[0]
     c = scale * LOG2E
-
-    def load_block(buf, slot):
-        if mode == "int4":
-            lo, hi = unpack_int4_halves(buf[slot], compute_dtype)
-            return lo, hi
-        if mode == "dense":
-            return buf[slot], None
-        return buf[slot].astype(compute_dtype), None
 
     def body(i, carry):
         m, l, acc = carry
@@ -93,33 +219,22 @@ def _decode_kernel(page_size: int, d: int, mode: str, scale: float,
         vc.wait()
 
         page = pt_ref[b, i]
-        if mode == "dense":
-            k_scale = 1.0
-            v_scale = 1.0
+        if mode == "int4":
+            k_lo, k_hi = unpack_int4_halves(k_buf[slot], compute_dtype)
+            v_lo, v_hi = unpack_int4_halves(v_buf[slot], compute_dtype)
+            k = jnp.concatenate([k_lo, k_hi], axis=0)
+            v = jnp.concatenate([v_lo, v_hi], axis=0)
+        elif mode == "dense":
+            k, v = k_buf[slot], v_buf[slot]
         else:
-            # Per-(kv_head, page) scales; K's folds into the score scale,
-            # V's into this page's PV contribution.
-            k_scale = ks_ref[hk, page]
-            v_scale = vs_ref[hk, page]
+            k = k_buf[slot].astype(compute_dtype)
+            v = v_buf[slot].astype(compute_dtype)
 
-        k_lo, k_hi = load_block(k_buf, slot)
-        if k_hi is not None:
-            d2 = d // 2
-            s = jax.lax.dot_general(
-                q[:, :d2], k_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                q[:, d2:], k_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            s = jax.lax.dot_general(
-                q, k_lo, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        s = s * (c * k_scale)  # (group, page_size), log2-domain scaled
-
-        # Mask tokens past the sequence length (last partial page).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * c
+        if mode != "dense":
+            s = s * ks_ref[hk, page]
         col = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < length, s, MASK_VALUE)
 
@@ -127,22 +242,11 @@ def _decode_kernel(page_size: int, d: int, mode: str, scale: float,
         p = jnp.exp2(s - m_new)
         alpha = jnp.exp2(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-        p_mm = p.astype(compute_dtype)
-        v_lo, v_hi = load_block(v_buf, slot)
-        if v_hi is not None:
-            pv = jnp.concatenate(
-                [jax.lax.dot_general(p_mm, v_lo, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32),
-                 jax.lax.dot_general(p_mm, v_hi, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)],
-                axis=-1,
-            )
-        else:
-            pv = jax.lax.dot_general(p_mm, v_lo, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        acc_new = acc * alpha + pv * v_scale
-        return m_new, l_new, acc_new
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
 
     init = (
         jnp.full((group, 1), MASK_VALUE, jnp.float32),
@@ -158,12 +262,30 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
                        num_pages: int, page_size: int, pages_per_seq: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
                        scale: float, interpret: bool):
-    d_store = d // 2 if mode == "int4" else d
     store_dtype = jnp.dtype(store_dtype_name)
     compute_dtype = jnp.dtype(compute_dtype_name)
+    # int4 pages are sublane-packed: (page_size // 2, d_head) bytes per page.
+    buf_rows = page_size // 2 if mode == "int4" else page_size
 
-    kernel = functools.partial(_decode_kernel, page_size, d, mode, scale,
-                               compute_dtype)
+    full_bytes = 2 * 2 * pages_per_seq * buf_rows * d * store_dtype.itemsize
+    use_full = full_bytes <= _FULL_VARIANT_VMEM_CAP
+
+    if use_full:
+        kernel = functools.partial(_full_kernel, page_size, d, mode, scale,
+                                   compute_dtype, pages_per_seq)
+        scratch = [
+            pltpu.VMEM((2, pages_per_seq * buf_rows, d), store_dtype),
+            pltpu.VMEM((2, pages_per_seq * buf_rows, d), store_dtype),
+            pltpu.SemaphoreType.DMA((2, 2, pages_per_seq)),
+        ]
+    else:
+        kernel = functools.partial(_loop_kernel, page_size, d, mode, scale,
+                                   compute_dtype)
+        scratch = [
+            pltpu.VMEM((2, buf_rows, d), store_dtype),
+            pltpu.VMEM((2, buf_rows, d), store_dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # lengths, page_tables, k_scales, v_scales
@@ -176,11 +298,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         ],
         out_specs=pl.BlockSpec((1, 1, group, d), lambda b, hk, *_: (b, hk, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, page_size, d_store), store_dtype),
-            pltpu.VMEM((2, page_size, d_store), store_dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -189,7 +307,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         out_shape=jax.ShapeDtypeStruct((batch, kv_heads, group, d),
                                        compute_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )
@@ -206,8 +324,9 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
 
     Args:
       q: (batch, n_heads, d_head) — the current step's query per sequence.
-      k_pages/v_pages: (n_kv_heads, num_pages, page_size, d_head) — or
-        ``d_head // 2`` last dim for packed-INT4 mode.
+      k_pages/v_pages: (n_kv_heads, num_pages, page_size, d_head) — for
+        packed-INT4, (n_kv_heads, num_pages, page_size // 2, d_head) with
+        byte (t, c) holding token t (lo nibble) / token t + page_size/2 (hi).
       lengths: (batch,) int32 — number of valid KV tokens per sequence.
       page_tables: (batch, pages_per_seq) int32, page ids in order (-1 pad).
       mode: "dense" | "int8" | "int4" | "fp8".
@@ -216,16 +335,8 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
     Returns (batch, n_heads, d_head) in q's dtype.
     """
     batch, heads, d = q.shape
-    kv_heads, num_pages, page_size = k_pages.shape[:3]
-    if mode == "int4" and jax.default_backend() != "cpu":
-        # Packed-int4 pages have a 64-lane minor dim that Mosaic cannot
-        # DMA-slice per page ("slice shape along dim 3 must be aligned to
-        # tiling (128)"). Contiguous-KV int4 works (flash_quant); a
-        # sublane-packed page layout is the planned fix.
-        raise NotImplementedError(
-            "int4 paged decode requires a 128-lane page layout; use int8/fp8 "
-            "paged caches or the contiguous int4 path (flash_forward_quantized)"
-        )
+    kv_heads, num_pages, page_rows = k_pages.shape[:3]
+    page_size = page_rows * 2 if mode == "int4" else page_rows
     if heads % kv_heads:
         raise ValueError(f"heads {heads} not divisible by kv_heads {kv_heads}")
     group = heads // kv_heads

@@ -21,7 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QTensor", "quantize_kv", "dequantize", "KVQuantMode"]
+__all__ = ["QTensor", "quantize_kv", "quantize_kv_pages", "dequantize",
+           "KVQuantMode"]
 
 _INT4_MAX = 7.0
 _INT8_MAX = 127.0
@@ -93,6 +94,35 @@ def quantize_kv(x, mode: str = "int8") -> QTensor:
     else:
         raise ValueError(f"unknown quant mode {mode!r}")
     return QTensor(vals, scale, mode, x.dtype)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def quantize_kv_pages(pages, mode: str = "int8"):
+    """Quantize a KV page pool (kv_heads, num_pages, page_size, d).
+
+    Scales are per-(kv_head, page). INT4 uses the *sublane-packed* page
+    layout the paged decode kernel consumes — byte (t, c) holds token t
+    (lo nibble) and token t + page_size/2 (hi nibble) — keeping the lane
+    dim 128-wide (the along-d packing of :func:`quantize_kv` would leave a
+    64-lane minor dim that per-page DMA slices can't address).
+
+    Returns (values, scales).
+    """
+    xf = pages.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=(2, 3))  # (kv_heads, num_pages)
+    scale = jnp.maximum(absmax / _qmax(mode), 1e-12)
+    inv = (1.0 / scale)[:, :, None, None]
+    if mode == "int8":
+        return jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8), scale
+    if mode == "fp8":
+        return (xf * inv).astype(jnp.float8_e4m3fn), scale
+    if mode == "int4":
+        q = jnp.clip(jnp.round(xf * inv), -7, 7).astype(jnp.int8)
+        ps = q.shape[2]
+        lo = q[:, :, : ps // 2] & 0x0F
+        hi = q[:, :, ps // 2:] & 0x0F
+        return (lo | (hi << 4)).astype(jnp.int8), scale
+    raise ValueError(f"unknown quant mode {mode!r}")
 
 
 def unpack_int4_halves(packed, out_dtype=jnp.float32):

@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -56,6 +57,9 @@ def main(argv=None):
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=4)
+    ap.add_argument("--scan", action="store_true",
+                    help="run all steps inside one jit (lax.scan): measures "
+                         "pure device throughput without per-step dispatch")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
@@ -69,7 +73,7 @@ def main(argv=None):
         params = init_quantized_params(cfg, key, args.weights)
     pbytes = _param_bytes(params)
 
-    pages_per_seq = -(-(args.context + args.steps + args.warmup + 1)
+    pages_per_seq = -(-(args.context + 2 * args.steps + args.warmup + 1)
                       // args.page_size)
     num_pages = args.batch * pages_per_seq + 1
     cache = init_cache(cfg, num_pages, args.page_size, args.kv)
@@ -89,19 +93,43 @@ def main(argv=None):
                                     lengths, tables_j, interpret=False)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
-    # Warmup (compiles; also fills a few cache slots).
-    lengths = lengths0.copy()
-    for _ in range(args.warmup):
-        lengths += 1
-        tokens, cache = step(cache, jnp.asarray(lengths))
-    sync(tokens)
+    if args.scan:
+        def scan_fn(carry, _):
+            toks, cache, lengths = carry
+            lengths = lengths + 1
+            logits, cache = decode_step(params, toks, cfg, cache,
+                                        lengths, tables_j, interpret=False)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache,
+                    lengths), None
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        lengths += 1
-        tokens, cache = step(cache, jnp.asarray(lengths))
-    sync(tokens)
-    dt = time.perf_counter() - t0
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run_n(toks, cache, lengths):
+            carry, _ = jax.lax.scan(scan_fn, (toks, cache, lengths), None,
+                                    length=args.steps)
+            return carry
+
+        carry = (tokens, cache, jnp.asarray(lengths0))
+        carry = run_n(*carry)  # compile + warm
+        sync(carry[0])
+        t0 = time.perf_counter()
+        carry = run_n(*carry)
+        sync(carry[0])
+        dt = time.perf_counter() - t0
+        cache = carry[1]
+    else:
+        # Warmup (compiles; also fills a few cache slots).
+        lengths = lengths0.copy()
+        for _ in range(args.warmup):
+            lengths += 1
+            tokens, cache = step(cache, jnp.asarray(lengths))
+        sync(tokens)
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            lengths += 1
+            tokens, cache = step(cache, jnp.asarray(lengths))
+        sync(tokens)
+        dt = time.perf_counter() - t0
 
     toks = args.batch * args.steps
     tps = toks / dt

@@ -50,7 +50,7 @@ def params():
     return init_params(CFG, jax.random.PRNGKey(0))
 
 
-@pytest.mark.parametrize("mode", ["dense", "int8"])
+@pytest.mark.parametrize("mode", ["dense", "int8", "int4"])
 def test_server_matches_naive(params, mode):
     prompts = {
         1: list(range(10, 30)),       # 20 tokens
@@ -64,7 +64,8 @@ def test_server_matches_naive(params, mode):
         server.submit(sid, p, n_new)
     got = server.run()
 
-    slack = 0.05 if mode == "dense" else 0.35  # int8 K/V rounding widens gaps
+    # Quantized K/V rounding widens acceptable logit gaps (int4 most).
+    slack = {"dense": 0.05, "int8": 0.35, "int4": 1.5}[mode]
     for sid, p in prompts.items():
         assert len(got[sid]) == n_new, (sid, got[sid])
         _check_greedy_path(params, p, got[sid], slack)

@@ -73,10 +73,7 @@ def test_paged_decode_dense(lengths):
 
 @pytest.mark.parametrize("mode", ["int8", "fp8", "int4"])
 def test_paged_decode_quantized(mode):
-    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv
-
-    if mode == "int4" and jax.default_backend() != "cpu":
-        pytest.xfail("int4 paged pages need a 128-lane layout (see kernel note)")
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv_pages
 
     lengths = [256, 128]
     batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 8, 128, 128, 8
@@ -85,15 +82,8 @@ def test_paged_decode_quantized(mode):
     k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
         jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
 
-    # Quantize each page with quantize_kv's per-(b,h) path by treating the
-    # page pool as (kv_heads, num_pages) "batch x head": transpose so the
-    # scale axis matches, then lay values back out per page.
-    def quant_pages(pages):
-        qt = quantize_kv(pages.reshape(kv_heads, num_pages, page_size, d), mode)
-        return qt.values, qt.scales  # values (kv_heads, num_pages, ps, d'), scales (kv_heads, num_pages)
-
-    kq, ks = quant_pages(k_pages)
-    vq, vs = quant_pages(v_pages)
+    kq, ks = quantize_kv_pages(k_pages, mode)
+    vq, vs = quantize_kv_pages(v_pages, mode)
     out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
                                  mode=mode, k_scales=ks, v_scales=vs)
     ref = _dense_reference(q, k_dense, v_dense, lengths)
