@@ -153,16 +153,23 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
         s = _scale_col_blocks(s, k_sc, rows)
 
     # Token position of each score column (half-order aware for int4).
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    if mode == "int4":
+    def token_pos(idx):
+        if mode != "int4":
+            return idx
         half = page_size // 2
         n_half = max_pages * half
-        c2 = jax.lax.rem(col, n_half)
-        pos = (c2 // half) * page_size + jax.lax.rem(c2, half)
-        pos = pos + jnp.where(col >= n_half, half, 0)
-    else:
-        pos = col
-    s = jnp.where(pos < length, s, MASK_VALUE)
+        c2 = jax.lax.rem(idx, n_half)
+        return ((c2 // half) * page_size + jax.lax.rem(c2, half)
+                + jnp.where(idx >= n_half, half, 0))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(token_pos(col) < length, s, MASK_VALUE)
+
+    # Zero V rows past the length: their P weights are exactly 0, but never-
+    # DMA'd buffer rows can hold non-finite bits and 0 * NaN = NaN (found by
+    # tools/check_races.py with NaN-poisoned interpreter memory).
+    vrow = jax.lax.broadcasted_iota(jnp.int32, (v_all.shape[0], 1), 0)
+    v_all = jnp.where(token_pos(vrow) < length, v_all, 0)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
@@ -237,6 +244,10 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
             s = s * ks_ref[hk, page]
         col = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < length, s, MASK_VALUE)
+        # Zero V rows past the length (0 * NaN = NaN; see _full_kernel note).
+        vrow = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (v.shape[0], 1), 0)
+        v = jnp.where(vrow < length, v, 0)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp2(s - m_new)
