@@ -85,7 +85,9 @@ def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = N
         t0 = time.perf_counter()
         sync(fn())
         rough = max(time.perf_counter() - t0 - ovh, 1e-5)
-        inner = int(min(max(10 * ovh / rough, 4), 64))
+        # Enough enqueued dispatches that the (~40 ms tunnel) fence is <10%
+        # of the sample even for sub-millisecond kernels.
+        inner = int(min(max(10 * ovh / rough, 4), 512))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()

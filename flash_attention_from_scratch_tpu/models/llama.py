@@ -45,9 +45,10 @@ class LlamaConfig:
     norm_eps: float = 1e-5
     dtype: DType = DType.BF16
     # Attention kernel config; block sizes are clamped to the sequence at
-    # call time so tiny dry-run shapes work.
-    block_q: int = 256
-    block_kv: int = 512
+    # call time so tiny dry-run shapes work. Large KV blocks amortize the
+    # online-softmax bookkeeping (profiles/autotune_r2.csv).
+    block_q: int = 512
+    block_kv: int = 2048
 
     def attn_config(self, seq_len: int) -> KernelConfig:
         def largest_divisor_block(limit: int, quantum: int) -> int:
