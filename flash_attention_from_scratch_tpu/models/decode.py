@@ -210,16 +210,60 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     return logits[0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"),
+def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
+                                   mode, mesh, interpret):
+    """Paged decode attention, shard_mapped over tp when a mesh is given.
+
+    KV heads (pool dim 0) and Q heads shard over the model axis — the same
+    megatron column split the projections use, so no collective is needed
+    inside the attention; wo's row-parallel matmul all-reduces after.
+    """
+    if mesh is None:
+        return paged_decode_attention(
+            q, kp, vp, lengths, page_tables, mode=mode,
+            k_scales=None if mode == "dense" else ks,
+            v_scales=None if mode == "dense" else vs,
+            interpret=interpret)
+
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS
+
+    heads_spec = P(None, MODEL_AXIS, None)
+    pool_spec = P(MODEL_AXIS, None, None, None)
+    sc_spec = P(MODEL_AXIS, None)
+    rep = P()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(heads_spec, pool_spec, pool_spec, sc_spec, sc_spec,
+                       rep, rep),
+             out_specs=heads_spec, check_rep=False)
+    def local(q, kp, vp, ks, vs, lengths, pt):
+        return paged_decode_attention(
+            q, kp, vp, lengths, pt, mode=mode,
+            k_scales=None if mode == "dense" else ks,
+            v_scales=None if mode == "dense" else vs,
+            interpret=interpret)
+
+    return local(q, kp, vp, ks, vs, lengths, page_tables)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh"),
                    donate_argnames=("cache",))
 def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
-                lengths, page_tables, interpret: Optional[bool] = None):
+                lengths, page_tables, interpret: Optional[bool] = None,
+                mesh=None):
     """One decode step for the whole running batch.
 
     Args:
       tokens: (batch,) int32 — the most recent token of each sequence.
       lengths: (batch,) int32 — sequence length *including* these tokens.
       page_tables: (batch, pages_per_seq) int32 (-1 padded).
+      mesh: optional (dp, tp) Mesh — KV-head/Q-head tensor parallelism for
+        the attention; dense layers shard via the params' NamedShardings.
 
     Returns (logits (batch, vocab) fp32, cache).
     """
@@ -290,12 +334,10 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
         cache.v_pages[li] = scatter(cache.v_pages[li], v_st)
 
-        out = paged_decode_attention(
-            q, cache.k_pages[li], cache.v_pages[li], lengths, page_tables,
-            mode=cache.mode,
-            k_scales=None if cache.mode == "dense" else cache.k_scales[li],
-            v_scales=None if cache.mode == "dense" else cache.v_scales[li],
-            interpret=interpret,
+        out = _paged_attention_maybe_sharded(
+            q, cache.k_pages[li], cache.v_pages[li],
+            cache.k_scales[li], cache.v_scales[li],
+            lengths, page_tables, cache.mode, mesh, interpret,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         x = x + _mm(out, layer["wo"])

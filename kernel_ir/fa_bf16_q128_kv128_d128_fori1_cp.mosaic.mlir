@@ -58,18 +58,18 @@ module @_fori_kernel {
       %46 = math.exp %45 : vector<128x128xf32>
       %47 = arith.subf %arg11, %42 : vector<128x128xf32>
       %48 = math.exp %47 : vector<128x128xf32>
-      %49 = arith.mulf %arg12, %48 : vector<128x128xf32>
-      %50 = vector.multi_reduction <add>, %46, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
-      %51 = vector.shape_cast %50 : vector<128xf32> to vector<128x1xf32>
-      %52 = vector.broadcast %51 : vector<128x1xf32> to vector<128x128xf32>
-      %53 = arith.addf %49, %52 : vector<128x128xf32>
-      %54 = arith.truncf %46 : vector<128x128xf32> to vector<128x128xbf16>
-      %55 = tpu.matmul %54, %37, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
+      %49 = arith.truncf %46 : vector<128x128xf32> to vector<128x128xbf16>
+      %50 = arith.mulf %arg12, %48 : vector<128x128xf32>
+      %51 = vector.multi_reduction <add>, %46, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
+      %52 = vector.shape_cast %51 : vector<128xf32> to vector<128x1xf32>
+      %53 = vector.broadcast %52 : vector<128x1xf32> to vector<128x128xf32>
+      %54 = arith.addf %50, %53 : vector<128x128xf32>
+      %55 = tpu.matmul %49, %37, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
       %56 = vector.extract_strided_slice %48 {offsets = [0, 0], sizes = [128, 1], strides = [1, 1]} : vector<128x128xf32> to vector<128x1xf32>
       %57 = vector.broadcast %56 : vector<128x1xf32> to vector<128x128xf32>
       %58 = arith.mulf %arg13, %57 : vector<128x128xf32>
       %59 = arith.addf %58, %55 : vector<128x128xf32>
-      scf.yield %42, %53, %59 : vector<128x128xf32>, vector<128x128xf32>, vector<128x128xf32>
+      scf.yield %42, %54, %59 : vector<128x128xf32>, vector<128x128xf32>, vector<128x128xf32>
     }
     %3 = vector.extract_strided_slice %2#1 {offsets = [0, 0], sizes = [128, 1], strides = [1, 1]} : vector<128x128xf32> to vector<128x1xf32>
     %4 = vector.broadcast %3 : vector<128x1xf32> to vector<128x128xf32>

@@ -84,18 +84,18 @@ module @_fori_kernel {
       %53 = math.exp2 %52 : vector<128x128xf32>
       %54 = arith.subf %arg11, %49 : vector<128x128xf32>
       %55 = math.exp2 %54 : vector<128x128xf32>
-      %56 = arith.mulf %arg12, %55 : vector<128x128xf32>
-      %57 = vector.multi_reduction <add>, %53, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
-      %58 = vector.shape_cast %57 : vector<128xf32> to vector<128x1xf32>
-      %59 = vector.broadcast %58 : vector<128x1xf32> to vector<128x128xf32>
-      %60 = arith.addf %56, %59 : vector<128x128xf32>
-      %61 = arith.truncf %53 : vector<128x128xf32> to vector<128x128xbf16>
-      %62 = tpu.matmul %61, %44, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
+      %56 = arith.truncf %53 : vector<128x128xf32> to vector<128x128xbf16>
+      %57 = arith.mulf %arg12, %55 : vector<128x128xf32>
+      %58 = vector.multi_reduction <add>, %53, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
+      %59 = vector.shape_cast %58 : vector<128xf32> to vector<128x1xf32>
+      %60 = vector.broadcast %59 : vector<128x1xf32> to vector<128x128xf32>
+      %61 = arith.addf %57, %60 : vector<128x128xf32>
+      %62 = tpu.matmul %56, %44, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
       %63 = vector.extract_strided_slice %55 {offsets = [0, 0], sizes = [128, 1], strides = [1, 1]} : vector<128x128xf32> to vector<128x1xf32>
       %64 = vector.broadcast %63 : vector<128x1xf32> to vector<128x128xf32>
       %65 = arith.mulf %arg13, %64 : vector<128x128xf32>
       %66 = arith.addf %65, %62 : vector<128x128xf32>
-      scf.yield %49, %60, %66 : vector<128x128xf32>, vector<128x128xf32>, vector<128x128xf32>
+      scf.yield %49, %61, %66 : vector<128x128xf32>, vector<128x128xf32>, vector<128x128xf32>
     }
     %15 = vector.extract_strided_slice %14#1 {offsets = [0, 0], sizes = [128, 1], strides = [1, 1]} : vector<128x128xf32> to vector<128x1xf32>
     %16 = vector.broadcast %15 : vector<128x1xf32> to vector<128x128xf32>

@@ -36,19 +36,19 @@ module @_grid_kernel {
     %20 = math.exp %19 : vector<128x128xf32>
     %21 = arith.subf %9, %16 : vector<128x128xf32>
     %22 = math.exp %21 : vector<128x128xf32>
-    %23 = arith.mulf %10, %22 : vector<128x128xf32>
-    %24 = vector.multi_reduction <add>, %20, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
-    %25 = vector.shape_cast %24 : vector<128xf32> to vector<128x1xf32>
-    %26 = vector.broadcast %25 : vector<128x1xf32> to vector<128x128xf32>
-    %27 = arith.addf %23, %26 : vector<128x128xf32>
-    %28 = arith.truncf %20 : vector<128x128xf32> to vector<128x128xbf16>
-    %29 = tpu.matmul %28, %7, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
+    %23 = arith.truncf %20 : vector<128x128xf32> to vector<128x128xbf16>
+    %24 = arith.mulf %10, %22 : vector<128x128xf32>
+    %25 = vector.multi_reduction <add>, %20, %cst_1 [1] : vector<128x128xf32> to vector<128xf32>
+    %26 = vector.shape_cast %25 : vector<128xf32> to vector<128x1xf32>
+    %27 = vector.broadcast %26 : vector<128x1xf32> to vector<128x128xf32>
+    %28 = arith.addf %24, %27 : vector<128x128xf32>
+    %29 = tpu.matmul %23, %7, %cst_3 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<128x128xbf16>, vector<128x128xbf16>, vector<128x128xf32> -> vector<128x128xf32>
     %30 = vector.extract_strided_slice %22 {offsets = [0, 0], sizes = [128, 1], strides = [1, 1]} : vector<128x128xf32> to vector<128x1xf32>
     %31 = vector.broadcast %30 : vector<128x1xf32> to vector<128x128xf32>
     %32 = arith.mulf %11, %31 : vector<128x128xf32>
     %33 = arith.addf %32, %29 : vector<128x128xf32>
     tpu.vector_store %arg9[%c0, %c0], %16 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
-    tpu.vector_store %arg10[%c0, %c0], %27 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
+    tpu.vector_store %arg10[%c0, %c0], %28 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
     tpu.vector_store %arg8[%c0, %c0], %33 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
     scf.if %1 {
       %34 = vector.load %arg8[%c0, %c0] : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>

@@ -25,13 +25,13 @@ module @_grid_kernel {
       %14 = vector.broadcast %12 : vector<512x1xf32> to vector<512x1024xf32>
       %15 = arith.subf %10, %14 : vector<512x1024xf32>
       %16 = math.exp2 %15 : vector<512x1024xf32>
-      %17 = vector.multi_reduction <add>, %16, %cst_1 [1] : vector<512x1024xf32> to vector<512xf32>
-      %18 = vector.shape_cast %17 : vector<512xf32> to vector<512x1xf32>
-      %19 = vector.broadcast %18 : vector<512x1xf32> to vector<512x128xf32>
-      %20 = arith.truncf %16 : vector<512x1024xf32> to vector<512x1024xbf16>
-      %21 = tpu.matmul %20, %7, %cst_0 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<512x1024xbf16>, vector<1024x128xbf16>, vector<512x128xf32> -> vector<512x128xf32>
+      %17 = arith.truncf %16 : vector<512x1024xf32> to vector<512x1024xbf16>
+      %18 = vector.multi_reduction <add>, %16, %cst_1 [1] : vector<512x1024xf32> to vector<512xf32>
+      %19 = vector.shape_cast %18 : vector<512xf32> to vector<512x1xf32>
+      %20 = vector.broadcast %19 : vector<512x1xf32> to vector<512x128xf32>
+      %21 = tpu.matmul %17, %7, %cst_0 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<512x1024xbf16>, vector<1024x128xbf16>, vector<512x128xf32> -> vector<512x128xf32>
       tpu.vector_store %arg9[%c0, %c0], %13 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
-      tpu.vector_store %arg10[%c0, %c0], %19 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
+      tpu.vector_store %arg10[%c0, %c0], %20 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
       tpu.vector_store %arg8[%c0, %c0], %21 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
     }
     %9 = arith.cmpi ne, %arg3, %c0_i32 : i32
@@ -50,19 +50,19 @@ module @_grid_kernel {
       %21 = math.exp2 %20 : vector<512x1024xf32>
       %22 = arith.subf %10, %17 : vector<512x128xf32>
       %23 = math.exp2 %22 : vector<512x128xf32>
-      %24 = arith.mulf %11, %23 : vector<512x128xf32>
-      %25 = vector.multi_reduction <add>, %21, %cst_1 [1] : vector<512x1024xf32> to vector<512xf32>
-      %26 = vector.shape_cast %25 : vector<512xf32> to vector<512x1xf32>
-      %27 = vector.broadcast %26 : vector<512x1xf32> to vector<512x128xf32>
-      %28 = arith.addf %24, %27 : vector<512x128xf32>
-      %29 = arith.truncf %21 : vector<512x1024xf32> to vector<512x1024xbf16>
-      %30 = tpu.matmul %29, %7, %cst_0 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<512x1024xbf16>, vector<1024x128xbf16>, vector<512x128xf32> -> vector<512x128xf32>
+      %24 = arith.truncf %21 : vector<512x1024xf32> to vector<512x1024xbf16>
+      %25 = arith.mulf %11, %23 : vector<512x128xf32>
+      %26 = vector.multi_reduction <add>, %21, %cst_1 [1] : vector<512x1024xf32> to vector<512xf32>
+      %27 = vector.shape_cast %26 : vector<512xf32> to vector<512x1xf32>
+      %28 = vector.broadcast %27 : vector<512x1xf32> to vector<512x128xf32>
+      %29 = arith.addf %25, %28 : vector<512x128xf32>
+      %30 = tpu.matmul %24, %7, %cst_0 {dimension_numbers = #tpu.dot_dimension_numbers<[1], [0], [0], [1], [0, 0, 1, 1], [], []>} : vector<512x1024xbf16>, vector<1024x128xbf16>, vector<512x128xf32> -> vector<512x128xf32>
       %31 = vector.extract_strided_slice %23 {offsets = [0, 0], sizes = [512, 1], strides = [1, 1]} : vector<512x128xf32> to vector<512x1xf32>
       %32 = vector.broadcast %31 : vector<512x1xf32> to vector<512x128xf32>
       %33 = arith.mulf %12, %32 : vector<512x128xf32>
       %34 = arith.addf %33, %30 : vector<512x128xf32>
       tpu.vector_store %arg9[%c0, %c0], %17 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
-      tpu.vector_store %arg10[%c0, %c0], %28 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
+      tpu.vector_store %arg10[%c0, %c0], %29 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
       tpu.vector_store %arg8[%c0, %c0], %34 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
     }
     scf.if %1 {
