@@ -350,3 +350,20 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 def greedy_token(logits) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def sample_token(logits, key, temperature: float = 1.0,
+                 top_k: int = 0) -> jax.Array:
+    """Temperature / top-k sampling. ``logits`` (..., vocab) fp32.
+
+    ``temperature <= 0`` degenerates to greedy; ``top_k == 0`` disables the
+    top-k filter.
+    """
+    if top_k:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decode import (
-    PagedKVCache, decode_step, greedy_token, init_cache, prefill,
+    PagedKVCache, decode_step, greedy_token, init_cache, prefill, sample_token,
 )
 from ..models.llama import LlamaConfig
 from .runtime import PagedEngine
@@ -59,6 +59,7 @@ class GenerationServer:
     def __init__(self, params, cfg: LlamaConfig, *, num_pages: int,
                  page_size: int, max_batch: int,
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
+                 temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  interpret: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
@@ -73,10 +74,20 @@ class GenerationServer:
         self.seqs: dict[int, _SeqState] = {}
         self.steps = 0
         self.decode_tokens = 0
+        self.temperature = temperature
+        self.top_k = top_k
+        self._key = jax.random.PRNGKey(seed)
 
     def submit(self, seq_id: int, prompt: list[int], max_new_tokens: int):
         self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[])
+
+    def _pick(self, logits):
+        """Next-token choice: greedy at temperature 0, sampled otherwise."""
+        if self.temperature <= 0.0:
+            return greedy_token(logits)
+        self._key, sub = jax.random.split(self._key)
+        return sample_token(logits, sub, self.temperature, self.top_k)
 
     @property
     def has_work(self) -> bool:
@@ -105,7 +116,7 @@ class GenerationServer:
                     self.cache, jnp.asarray(batch.page_tables[row]),
                     prompt_len=len(st.prompt), interpret=self.interpret,
                 )
-                st.generated.append(int(greedy_token(logits)))
+                st.generated.append(int(self._pick(logits)))
                 st.prefilled = True
             else:
                 decode_rows.append(row)
@@ -131,7 +142,7 @@ class GenerationServer:
                 jnp.asarray(lengths), jnp.asarray(tables),
                 interpret=self.interpret,
             )
-            next_tokens = np.asarray(greedy_token(logits))
+            next_tokens = np.asarray(self._pick(logits))
             for i, r in enumerate(decode_rows):
                 self.seqs[batch.ids[r]].generated.append(int(next_tokens[i]))
             self.decode_tokens += len(decode_rows)

@@ -59,7 +59,11 @@ def main(argv=None):
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--scan", action="store_true",
                     help="run all steps inside one jit (lax.scan): measures "
-                         "pure device throughput without per-step dispatch")
+                         "pure device throughput without per-step dispatch "
+                         "(compile cost explodes beyond small models)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="decode steps per jit call (python-unrolled): "
+                         "amortizes the per-call host dispatch")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
@@ -113,6 +117,27 @@ def main(argv=None):
         sync(carry[0])
         t0 = time.perf_counter()
         carry = run_n(*carry)
+        sync(carry[0])
+        dt = time.perf_counter() - t0
+        cache = carry[1]
+    elif args.unroll > 1:
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnums=())
+        def run_u(toks, cache, lengths):
+            for _ in range(args.unroll):
+                lengths = lengths + 1
+                logits, cache = decode_step(params, toks, cfg, cache,
+                                            lengths, tables_j, interpret=False)
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)
+            return toks, cache, lengths
+
+        assert args.steps % args.unroll == 0, "--steps must divide by --unroll"
+        carry = (tokens, cache, jnp.asarray(lengths0))
+        carry = run_u(*carry)  # compile + warm
+        sync(carry[0])
+        t0 = time.perf_counter()
+        for _ in range(args.steps // args.unroll):
+            carry = run_u(*carry)
         sync(carry[0])
         dt = time.perf_counter() - t0
         cache = carry[1]

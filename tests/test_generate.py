@@ -71,6 +71,17 @@ def test_server_matches_naive(params, mode):
         _check_greedy_path(params, p, got[sid], slack)
 
 
+def test_sampled_generation_runs(params):
+    """Temperature sampling: correct lengths, valid token range."""
+    server = GenerationServer(params, CFG, num_pages=16, page_size=64,
+                              max_batch=2, pages_per_seq=8,
+                              temperature=0.8, top_k=20, seed=7)
+    server.submit(1, list(range(10, 26)), 5)
+    got = server.run()
+    assert len(got[1]) == 5
+    assert all(0 <= t < CFG.vocab_size for t in got[1]), got[1]
+
+
 def test_oversubscribed_pool_preempts_and_finishes(params):
     """More work than pages: scheduler must preempt and still drain."""
     server = GenerationServer(params, CFG, num_pages=9, page_size=64,
