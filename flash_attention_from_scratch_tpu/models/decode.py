@@ -29,7 +29,8 @@ from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import LlamaConfig, _mlp, _mm, apply_rope, rms_norm, rope_tables
 
-__all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step", "greedy_token"]
+__all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step",
+           "greedy_token", "sample_token"]
 
 _QMAX = {"int8": 127.0, "int4": 7.0, "fp8": 448.0}
 
@@ -103,7 +104,9 @@ def _quantize_rows(x, scale, mode: str):
     if mode == KVQuantMode.INT4:
         return jnp.clip(jnp.round(xf), -7, 7).astype(jnp.int8)
     if mode == KVQuantMode.FP8:
-        return xf.astype(jnp.float8_e4m3fn)
+        # e4m3 conversion does NOT saturate (out-of-range -> NaN); decode
+        # steps reuse the prefill-calibrated scale, so clamp explicitly.
+        return jnp.clip(xf, -448.0, 448.0).astype(jnp.float8_e4m3fn)
     return x
 
 
@@ -179,7 +182,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     K/V rows are scattered into pages and the returned logits are the
     position ``prompt_len - 1`` row. Returns (logits (vocab,) fp32, cache).
     """
-    from .llama import _mlp, flash_attention
+    from .llama import flash_attention
 
     cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
                                 v_pages=list(cache.v_pages),

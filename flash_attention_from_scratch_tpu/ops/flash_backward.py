@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .configs import DType, KernelConfig
-from .flash_forward import LOG2E
+from .flash_forward import LOG2E, _mm_precision
 
 __all__ = ["flash_backward", "make_flash_backward"]
 
@@ -55,6 +55,7 @@ def _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start):
     """P^T tile (block_kv, block_q) fp32 from saved LSE (no renormalize)."""
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_mm_precision(cfg),
     )
     c = scale * LOG2E
     pt = jnp.exp2(st * c - lse_row * LOG2E)
@@ -67,6 +68,7 @@ def _dst_tile(cfg, scale, pt, v, do, d_row):
     """dS^T * scale as a bf16 MXU operand: P^T * (dP^T - D) * scale."""
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_mm_precision(cfg),
     )
     return ((pt * (dpt - d_row)) * scale).astype(cfg.dtype.jnp_dtype)
 
@@ -114,13 +116,13 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
         # dV_j += P^T dO
         dv_acc[...] += jax.lax.dot_general(
             pt_mm, do, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
         )
         # dK_j += (dS^T * scale) Q
         dst = _dst_tile(cfg, scale, pt, v, do, d_row)
         dk_acc[...] += jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
         )
 
     if cfg.causal:
@@ -174,7 +176,7 @@ def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         # MXU directly — the tile never transposes back to (q, kv) space.
         dq_acc[...] += jax.lax.dot_general(
             dst, k, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
         )
 
     if cfg.causal:
@@ -308,6 +310,9 @@ def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
         cfg, batch, heads, seq_q, seq_kv, kv_heads, scale, interpret)
 
     def run(q, k, v, o, lse, do):
+        # The cotangent arrives in out_dtype; the kernels matmul it against
+        # cfg.dtype tiles, so align it (out_dtype is a storage knob only).
+        do = do.astype(q.dtype)
         dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
         # Row stats go in as (b, h, 1, seq_q) whole-row lane vectors; the
         # kernels slice per-block windows without relayout.

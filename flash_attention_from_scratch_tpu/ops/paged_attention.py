@@ -203,9 +203,11 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
                                       sems.at[1, slot])
         return k_dma, v_dma
 
-    k0, v0 = dma(0, 0)
-    k0.start()
-    v0.start()
+    @pl.when(n_pages > 0)
+    def _():
+        k0, v0 = dma(0, 0)
+        k0.start()
+        v0.start()
 
     q = q_ref[0, 0]
     group = q.shape[0]
@@ -257,6 +259,8 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
             p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if mode != "dense":
+            pv = pv * vs_ref[hk, page]  # per-page V dequant scale
         return m_new, l_new, acc * alpha + pv
 
     init = (
@@ -265,12 +269,14 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
         jnp.zeros((group, d), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, n_pages, body, init)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    # length-0 rows (possible for decode-batch padding) produce l == 0.
+    o_ref[0, 0] = jnp.where(l > 0, acc / jnp.maximum(l, 1e-30), 0.0).astype(
+        o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=128)
 def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
-                       num_pages: int, page_size: int, pages_per_seq: int,
+                       page_size: int, pages_per_seq: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
                        scale: float, interpret: bool):
     store_dtype = jnp.dtype(store_dtype_name)
@@ -366,7 +372,7 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
         interpret = jax.default_backend() == "cpu"
 
     fn = _build_decode_call(
-        batch, kv_heads, group, d, num_pages, page_size, pages_per_seq,
+        batch, kv_heads, group, d, page_size, pages_per_seq,
         mode, str(k_pages.dtype), str(q.dtype), float(scale), interpret,
     )
     q_g = q.reshape(batch, kv_heads, group, d)

@@ -92,6 +92,39 @@ def test_paged_decode_quantized(mode):
     assert err < tol, f"{mode}: {float(err)}"
 
 
+@pytest.mark.parametrize("mode", ["dense", "int8", "int4"])
+def test_paged_decode_loop_variant(mode, monkeypatch):
+    """Force the per-page online-softmax fallback (long-window path)."""
+    import flash_attention_from_scratch_tpu.ops.paged_attention as pa
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv_pages
+
+    monkeypatch.setattr(pa, "_FULL_VARIANT_VMEM_CAP", 0)
+    pa._build_decode_call.cache_clear()
+    try:
+        lengths = [200, 128]
+        batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 4, 128, 128, 8
+        q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                              jnp.float32).astype(jnp.bfloat16)
+        k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+            jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+            num_pages, d)
+        ref = _dense_reference(q, k_dense, v_dense, lengths)
+        if mode == "dense":
+            out = paged_decode_attention(q, k_pages, v_pages,
+                                         jnp.asarray(lengths), pt)
+            tol = 3e-2
+        else:
+            kq, ks = quantize_kv_pages(k_pages, mode)
+            vq, vs = quantize_kv_pages(v_pages, mode)
+            out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                         mode=mode, k_scales=ks, v_scales=vs)
+            tol = 0.06 if mode == "int8" else 0.35
+        err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+        assert err < tol, f"loop variant {mode}: {float(err)}"
+    finally:
+        pa._build_decode_call.cache_clear()
+
+
 def test_paged_decode_group1():
     """MHA decode (group == 1)."""
     lengths = [128, 256]
