@@ -39,6 +39,7 @@ struct Engine {
   int32_t num_pages;
   int32_t page_size;
   int32_t max_batch;
+  int32_t max_pages_per_seq;
   std::vector<int32_t> free_pages;          // LIFO free list
   std::unordered_map<int64_t, Sequence> seqs;
   std::deque<int64_t> waiting;              // FIFO of queued sequence ids
@@ -85,12 +86,16 @@ struct Engine {
 extern "C" {
 
 // Create an engine managing `num_pages` KV pages of `page_size` tokens,
-// batching at most `max_batch` sequences.
-void* fa_engine_create(int32_t num_pages, int32_t page_size, int32_t max_batch) {
+// batching at most `max_batch` sequences of at most `max_pages_per_seq`
+// pages each (<=0 means unlimited).
+void* fa_engine_create(int32_t num_pages, int32_t page_size, int32_t max_batch,
+                       int32_t max_pages_per_seq) {
   auto* e = new Engine();
   e->num_pages = num_pages;
   e->page_size = page_size;
   e->max_batch = max_batch;
+  e->max_pages_per_seq =
+      max_pages_per_seq > 0 ? max_pages_per_seq : num_pages;
   e->free_pages.reserve(num_pages);
   for (int32_t i = num_pages - 1; i >= 0; --i) e->free_pages.push_back(i);
   return e;
@@ -104,7 +109,15 @@ int32_t fa_engine_add_request(void* h, int64_t id, int32_t prompt_len,
                               int32_t max_new_tokens) {
   auto* e = static_cast<Engine*>(h);
   if (e->seqs.count(id)) return -1;
-  if (e->pages_needed(prompt_len + max_new_tokens) > e->num_pages) return -1;
+  int32_t worst = e->pages_needed(prompt_len + max_new_tokens);
+  if (worst > e->num_pages) return -1;
+  // The sequence's page list must fit the fixed-width page table the client
+  // reads back — growing past it would silently truncate KV addressing.
+  if (worst > e->max_pages_per_seq) return -1;
+  // Admission (fa_engine_step) requires pages for prompt+1 tokens plus a
+  // one-page watermark; a request that can never satisfy that would sit at
+  // the FIFO head forever and livelock the queue.
+  if (e->pages_needed(prompt_len + 1) + 1 > e->num_pages) return -1;
   Sequence s;
   s.id = id;
   s.prompt_len = prompt_len;

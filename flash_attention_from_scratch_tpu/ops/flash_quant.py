@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .configs import DType, KernelConfig, calc_self_attn_flop
-from .flash_forward import MASK_VALUE, _STATS_LANES, _attend_block
+from .flash_forward import MASK_VALUE, _STATS_LANES, _attend_block, _mm_precision
 from .quant import QTensor, unpack_int4_halves
 
 __all__ = ["flash_forward_quantized"]
@@ -42,7 +42,7 @@ def _load_kv_block(ref, mode: str, compute_dtype):
 
 
 def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
-                  num_kv: int,
+                  num_kv: int, group: int,
                   q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, o_ref,
                   acc_ref, m_ref, l_ref):
     kv_step = pl.program_id(3)
@@ -58,15 +58,19 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
         visible = kv_start <= q_span + cfg.block_q - 1
 
     compute_dtype = cfg.dtype.jnp_dtype
-    # Scales live in SMEM as the full (batch, heads) table (TPU SMEM blocks
-    # must match the array dims); index by grid position.
-    k_scale = ks_ref[pl.program_id(0), pl.program_id(1)]
-    v_scale = vs_ref[pl.program_id(0), pl.program_id(1)]
+    # Scales live in SMEM as full (batch, heads)/(batch, kv_heads) tables
+    # (TPU SMEM blocks must match the array dims); index by grid position —
+    # GQA maps Q head h to KV head h // group.
+    bi = pl.program_id(0)
+    hq = pl.program_id(1)
+    hk = hq // group if group > 1 else hq
+    k_scale = ks_ref[bi, hk]
+    v_scale = vs_ref[bi, hk]
     # Fold the K (and, for FP8-QKV, the Q) quantization scale into the
     # softmax scale — one multiply the online softmax does anyway.
     eff_scale = scale * k_scale
     if q_quant:
-        eff_scale = eff_scale * qs_ref[pl.program_id(0), pl.program_id(1)]
+        eff_scale = eff_scale * qs_ref[bi, hq]
 
     def compute():
         q = q_ref[0, 0]
@@ -78,14 +82,17 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
             s = jax.lax.dot_general(
                 q[:, :d2], k_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
             ) + jax.lax.dot_general(
                 q[:, d2:], k_hi, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
             )
         else:
             s = jax.lax.dot_general(
                 q, k_lo, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
             )
 
         v_lo, v_hi = _load_kv_block(v_ref, mode, compute_dtype)
@@ -141,21 +148,25 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
 @functools.lru_cache(maxsize=256)
 def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
                       q_dtype_name: str, q_quant: bool,
-                      scale: float, batch: int, heads: int,
+                      scale: float, batch: int, heads: int, kv_heads: int,
                       seq_q: int, seq_kv: int, interpret: bool):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
     d_store = d // 2 if mode == "int4" else d
     store_dtype = jnp.dtype(store_dtype_name)
+    group = heads // kv_heads  # GQA: Q head h reads KV head h // group
 
     def kv_index(b, h, qi, ki):
         blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
-        return (b, h, blk, 0)
+        return (b, h // group if group > 1 else h, blk, 0)
 
-    smem_spec = pl.BlockSpec((batch, heads), lambda b, h, qi, ki: (0, 0),
-                             memory_space=pltpu.SMEM)
-    kernel = functools.partial(_quant_kernel, cfg, mode, q_quant, scale, num_kv)
+    def smem(n_heads):
+        return pl.BlockSpec((batch, n_heads), lambda b, h, qi, ki: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_quant_kernel, cfg, mode, q_quant, scale,
+                               num_kv, group)
     call = pl.pallas_call(
         kernel,
         grid=(batch, heads, num_q, num_kv),
@@ -166,9 +177,9 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cfg.block_kv, d_store), kv_index,
                          memory_space=pltpu.VMEM),
-            smem_spec,
-            smem_spec,
-            smem_spec,
+            smem(heads),      # Q scales (per Q head)
+            smem(kv_heads),   # K scales (per KV head)
+            smem(kv_heads),   # V scales
         ],
         out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
                                lambda b, h, qi, ki: (b, h, qi, 0),
@@ -220,12 +231,17 @@ def flash_forward_quantized(q, k: QTensor, v: QTensor,
                 else jnp.ones((q_vals.shape[0], q_vals.shape[1])))
     if cfg is None:
         dt = DType.from_jnp(q.orig_dtype if q_quant else q.dtype)
-        cfg = KernelConfig(dtype=dt, d_head=q_vals.shape[-1])
+        cfg = KernelConfig.for_shape(q_vals.shape[2], k.seq_len, dtype=dt,
+                                     d_head=q_vals.shape[-1])
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     batch, heads, seq_q, d = q_vals.shape
+    kv_heads = k.values.shape[1]
+    if heads % kv_heads:
+        raise ValueError(
+            f"GQA requires q_heads % kv_heads == 0: {heads} vs {kv_heads}")
     seq_kv = k.seq_len
     if seq_q % cfg.block_q or seq_kv % cfg.block_kv:
         raise ValueError(
@@ -233,6 +249,6 @@ def flash_forward_quantized(q, k: QTensor, v: QTensor,
         )
     fn = _build_quant_call(cfg, k.mode, str(k.values.dtype),
                            str(q_vals.dtype), q_quant, float(scale),
-                           batch, heads, seq_q, seq_kv, interpret)
+                           batch, heads, kv_heads, seq_q, seq_kv, interpret)
     return fn(q_vals, k.values, v.values, q_scales.astype(jnp.float32),
               k.scales.astype(jnp.float32), v.scales.astype(jnp.float32))

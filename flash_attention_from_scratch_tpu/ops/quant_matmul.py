@@ -88,29 +88,49 @@ def quantize_weight(w, mode: str = "int8") -> QuantizedWeight:
     return QuantizedWeight(vals, scale, mode, w.dtype)
 
 
-def _qmm_kernel(mode: str, num_k: int, compute_dtype,
-                x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
+def _precision(compute_dtype):
+    """fp32 activations need HIGHEST or the MXU rounds them to bf16."""
+    return (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
+
+
+def _qmm_kernel_int4(num_k: int, compute_dtype,
+                     x_lo_ref, x_hi_ref, w_ref, s_ref, o_ref, acc_ref):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if mode == "int4":
-        lo, hi = unpack_int4_halves(w_ref[...], compute_dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        w = w_ref[...].astype(compute_dtype)
-        acc_ref[...] += jax.lax.dot_general(
-            x_lo_ref[...], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    lo, hi = unpack_int4_halves(w_ref[...], compute_dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(compute_dtype),
+    ) + jax.lax.dot_general(
+        x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(compute_dtype),
+    )
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _qmm_kernel_int8(num_k: int, compute_dtype,
+                     x_ref, w_ref, s_ref, o_ref, acc_ref):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...].astype(compute_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(compute_dtype),
+    )
 
     @pl.when(ki == num_k - 1)
     def _():
@@ -123,26 +143,30 @@ def _build_qmm(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
     compute_dtype = jnp.dtype(compute_dtype_name)
     k_eff = k // 2 if mode == "int4" else k  # stored K rows
     num_k = k_eff // bk
-    kernel = functools.partial(_qmm_kernel, mode, num_k, compute_dtype)
 
-    # INT4 feeds two x tiles per step: rows [ki*bk, ...) and the same block
-    # K/2 later. INT8 wires both specs to the same block (the second load is
-    # redundant but free: identical index map -> same VMEM window reused).
     def x_lo_idx(i, j, ki):
         return (i, ki)
 
+    # INT4 feeds two x tiles per step — rows [ki*bk, ...) and the same block
+    # K/2 later — so x appears twice with different index maps. INT8 takes a
+    # single x operand (a duplicated spec would pipeline the same block's
+    # HBM->VMEM copy twice).
     if mode == "int4":
+        kernel = functools.partial(_qmm_kernel_int4, num_k, compute_dtype)
+
         def x_hi_idx(i, j, ki):
             return (i, ki + num_k)
+
+        x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM)]
     else:
-        x_hi_idx = x_lo_idx
+        kernel = functools.partial(_qmm_kernel_int8, num_k, compute_dtype)
+        x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM)]
 
     call = pl.pallas_call(
         kernel,
         grid=(m // bm, n // bn, num_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM),
+        in_specs=x_specs + [
             pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, ki: (0, j),
@@ -162,7 +186,9 @@ def _build_qmm(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
         ),
         interpret=interpret,
     )
-    return jax.jit(lambda x, w, s: call(x, x, w, s))
+    if mode == "int4":
+        return jax.jit(lambda x, w, s: call(x, x, w, s))
+    return jax.jit(lambda x, w, s: call(x, w, s))
 
 
 def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
@@ -181,6 +207,8 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     m = 1
     for dim in lead:
         m *= dim
+    if m == 0:
+        return jnp.zeros((*lead, n), x.dtype)
     x2 = x.reshape(m, k)
 
     k_eff = k // 2 if wq.mode == "int4" else k

@@ -82,11 +82,17 @@ class GenerationServer:
         self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[])
 
-    def _pick(self, logits):
-        """Next-token choice: greedy at temperature 0, sampled otherwise."""
+    def _pick(self, logits, sid: int):
+        """Next-token choice: greedy at temperature 0, sampled otherwise.
+
+        The sampling key is derived from (seq_id, position), not a global
+        advancing stream, so recompute preemption replays the *same*
+        trajectory when a sequence is restarted.
+        """
         if self.temperature <= 0.0:
             return greedy_token(logits)
-        self._key, sub = jax.random.split(self._key)
+        pos = len(self.seqs[sid].generated)
+        sub = jax.random.fold_in(jax.random.fold_in(self._key, sid), pos)
         return sample_token(logits, sub, self.temperature, self.top_k)
 
     @property
@@ -116,7 +122,7 @@ class GenerationServer:
                     self.cache, jnp.asarray(batch.page_tables[row]),
                     prompt_len=len(st.prompt), interpret=self.interpret,
                 )
-                st.generated.append(int(self._pick(logits)))
+                st.generated.append(int(self._pick(logits, sid)))
                 st.prefilled = True
             else:
                 decode_rows.append(row)
@@ -142,9 +148,10 @@ class GenerationServer:
                 jnp.asarray(lengths), jnp.asarray(tables),
                 interpret=self.interpret,
             )
-            next_tokens = np.asarray(self._pick(logits))
             for i, r in enumerate(decode_rows):
-                self.seqs[batch.ids[r]].generated.append(int(next_tokens[i]))
+                sid = int(batch.ids[r])
+                tok = int(self._pick(logits[i], sid))
+                self.seqs[sid].generated.append(tok)
             self.decode_tokens += len(decode_rows)
 
         return self.engine.commit()
@@ -160,8 +167,9 @@ class GenerationServer:
         return {sid: st.generated for sid, st in self.seqs.items()}
 
     def throughput(self) -> float:
-        """Decode tokens per wall-second measured across a timed run."""
+        """Decode tokens per wall-second for the run this call performs."""
+        start_tokens = self.decode_tokens
         t0 = time.perf_counter()
         self.run()
         dt = time.perf_counter() - t0
-        return self.decode_tokens / dt if dt > 0 else 0.0
+        return (self.decode_tokens - start_tokens) / dt if dt > 0 else 0.0

@@ -30,10 +30,14 @@ def _build_library() -> str:
     os.makedirs(out_dir, exist_ok=True)
     so = os.path.join(out_dir, f"paged_runtime_{tag}.so")
     if not os.path.exists(so):
+        # Build to a unique temp path then rename: atomic against concurrent
+        # first-use from multiple processes.
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", so],
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp],
             check=True, capture_output=True,
         )
+        os.replace(tmp, so)
     return so
 
 
@@ -45,7 +49,7 @@ def _load():
     if _lib is None:
         _lib = ctypes.CDLL(_build_library())
         _lib.fa_engine_create.restype = ctypes.c_void_p
-        _lib.fa_engine_create.argtypes = [ctypes.c_int32] * 3
+        _lib.fa_engine_create.argtypes = [ctypes.c_int32] * 4
         _lib.fa_engine_destroy.argtypes = [ctypes.c_void_p]
         _lib.fa_engine_add_request.restype = ctypes.c_int32
         _lib.fa_engine_add_request.argtypes = [
@@ -85,12 +89,13 @@ class PagedEngine:
     def __init__(self, num_pages: int, page_size: int, max_batch: int,
                  max_pages_per_seq: int | None = None):
         self._lib = _load()
+        self.max_pages_per_seq = max_pages_per_seq or num_pages
         self._h = ctypes.c_void_p(
-            self._lib.fa_engine_create(num_pages, page_size, max_batch))
+            self._lib.fa_engine_create(num_pages, page_size, max_batch,
+                                       self.max_pages_per_seq))
         self.num_pages = num_pages
         self.page_size = page_size
         self.max_batch = max_batch
-        self.max_pages_per_seq = max_pages_per_seq or num_pages
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -102,8 +107,10 @@ class PagedEngine:
                                              max_new_tokens)
         if rc != 0:
             raise ValueError(
-                f"request {seq_id} rejected (duplicate id, or "
-                f"{prompt_len}+{max_new_tokens} tokens can never fit the pool)")
+                f"request {seq_id} rejected: duplicate id, or "
+                f"{prompt_len}+{max_new_tokens} tokens cannot fit the pool / "
+                f"the {self.max_pages_per_seq}-page per-sequence table / "
+                f"the admission watermark")
 
     def step(self) -> Batch:
         """Admit + allocate for one decode step; returns the running batch."""

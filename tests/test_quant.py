@@ -101,6 +101,26 @@ def test_fp8_qkv():
     assert err2 <= 0.08, err2
 
 
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_gqa_quantized(mode):
+    """GQA: quantized K/V with fewer heads, indexed via h // group."""
+    q, _, _ = generate_qkv(256, n_heads=8, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=1)
+    kq, vq = quantize_kv(k, mode), quantize_kv(v, mode)
+    out = flash_forward_quantized(q, kq, vq, CFG)
+    ref = reference_attention(q, dequantize(kq), dequantize(vq))
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))))
+    assert err <= 1e-2, f"{mode}: {err}"
+
+
+def test_gqa_quantized_invalid_heads():
+    q, _, _ = generate_qkv(256, n_heads=6, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(256, n_heads=4, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):
+        flash_forward_quantized(q, quantize_kv(k, "int8"),
+                                quantize_kv(v, "int8"), CFG)
+
+
 def test_mode_mismatch_rejected():
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
     with pytest.raises(ValueError):

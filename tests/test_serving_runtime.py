@@ -75,8 +75,33 @@ def test_preemption_on_exhaustion():
 
 def test_reject_impossible_request():
     eng = PagedEngine(num_pages=2, page_size=4, max_batch=2)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # can never fit the pool at all
         eng.add_request(1, prompt_len=100, max_new_tokens=10)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):  # can never clear the admission watermark
         eng.add_request(2, prompt_len=4, max_new_tokens=1)
-        eng.add_request(2, prompt_len=4, max_new_tokens=1)  # duplicate id
+    eng2 = PagedEngine(num_pages=4, page_size=4, max_batch=2)
+    eng2.add_request(3, prompt_len=4, max_new_tokens=1)
+    with pytest.raises(ValueError):
+        eng2.add_request(3, prompt_len=4, max_new_tokens=1)  # duplicate id
+
+
+def test_reject_request_exceeding_page_table_width():
+    """A sequence that would outgrow the fixed page-table width is rejected
+    up front instead of silently truncating its KV addressing later."""
+    eng = PagedEngine(num_pages=32, page_size=4, max_batch=2,
+                      max_pages_per_seq=4)
+    with pytest.raises(ValueError):
+        eng.add_request(1, prompt_len=12, max_new_tokens=12)  # needs 6 pages
+    eng.add_request(2, prompt_len=8, max_new_tokens=4)  # 3 pages: fine
+
+
+def test_unadmittable_request_does_not_livelock_queue():
+    """Regression: a request passing the old worst-case check but failing the
+    admission watermark used to block the FIFO head forever."""
+    eng = PagedEngine(num_pages=8, page_size=16, max_batch=4)
+    with pytest.raises(ValueError):
+        # pages_needed(113+1)+1 = 9 > 8: admission could never succeed.
+        eng.add_request(1, prompt_len=113, max_new_tokens=1)
+    # The queue stays usable for normal requests.
+    eng.add_request(2, prompt_len=17, max_new_tokens=2)
+    assert len(eng.step().ids) == 1
