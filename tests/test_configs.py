@@ -60,7 +60,8 @@ def test_progression_ladder_shape():
     ladder = get_kernel_progression_configs()
     names = [n for n, _ in ladder]
     assert names[0] == "1_base"
-    assert len(ladder) == 7
+    assert len(ladder) == 8
+    assert names[-1] == "8_scale_q" and ladder[-1][1].scale_q
     # The base rung must be the synchronous fori variant.
     assert ladder[0][1].kv_loop == KVLoop.FORI
     assert ladder[0][1].num_kv_buffers == 1
