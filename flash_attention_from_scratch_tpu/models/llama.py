@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -141,12 +140,13 @@ def init_quantized_params(cfg: LlamaConfig, key, mode: str = "int8",
     dt = cfg.dtype.jnp_dtype
     keys = jax.random.split(key, cfg.n_layers + 2)
     kpack = 2 if mode == "int4" else 1
+    qmax = 7.0 if mode == "int4" else 127.0  # must match quant_matmul's dequant
 
     def qw(key, shape):
         fan_in = shape[0]
         vals = jax.random.randint(key, (shape[0] // kpack, shape[1]), -127, 128,
                                   jnp.int8)
-        scale = jnp.full((shape[1],), 1.0 / (127.0 * math.sqrt(fan_in)),
+        scale = jnp.full((shape[1],), 1.0 / (qmax * math.sqrt(fan_in)),
                          jnp.float32)
         return QuantizedWeight(vals, scale, mode, dt)
 

@@ -8,8 +8,6 @@ shard_mapped — everything else is GSPMD.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import optax
 

@@ -99,7 +99,7 @@ class KVLoop(enum.Enum):
     FORI = "fori"
 
 
-@dataclasses.dataclass(frozen=True, order=True)
+@dataclasses.dataclass(frozen=True)
 class KernelConfig:
     """All compile-time knobs of the flash forward kernel.
 
@@ -188,7 +188,10 @@ class KernelConfig:
                 raise ValueError(f"seq {seq} not tileable (quantum {quantum})")
             return b
 
-        bq = clamp(preferred_q, seq_q, 8)
+        # Q-block quantum: the dtype's native sublane tile (bf16 16, int8 32)
+        # so chosen blocks never force a Mosaic relayout.
+        dtype = kwargs.get("dtype", DType.BF16)
+        bq = clamp(preferred_q, seq_q, dtype.min_tile[0])
         if preferred_kv is None:
             preferred_kv = max(cls.S_TILE_BUDGET_BYTES // (4 * bq), 128)
         return cls(block_q=bq, block_kv=clamp(preferred_kv, seq_kv, 128),

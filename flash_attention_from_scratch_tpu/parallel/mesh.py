@@ -30,7 +30,15 @@ def make_mesh(dp: int, tp: int, devices=None) -> Mesh:
         devices = jax.devices()
         if len(devices) < n:
             # A TPU-attached dev box still exposes virtual CPU devices
-            # (xla_force_host_platform_device_count) for sharding dry runs.
+            # (xla_force_host_platform_device_count) for sharding dry runs —
+            # but never let that silently masquerade as accelerator timing.
+            import warnings
+
+            warnings.warn(
+                f"make_mesh({dp}, {tp}): only {len(devices)} "
+                f"{devices[0].platform} device(s); falling back to virtual "
+                f"CPU devices — fine for dry runs, meaningless for timing",
+                stacklevel=2)
             devices = jax.devices("cpu")
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
@@ -70,8 +78,32 @@ def llama_param_specs(params) -> dict:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a params pytree onto the mesh per llama_param_specs."""
+    """Place a params pytree onto the mesh per llama_param_specs.
+
+    Quantized leaves (``QuantizedWeight``) shard their values like the dense
+    weight; per-output-channel scales follow the weight's N-dim sharding
+    (column-parallel -> scales over tp, row-parallel -> replicated).
+    """
+    from ..ops.quant_matmul import QuantizedWeight
+
     specs = llama_param_specs(params)
+
+    def place(x, spec):
+        if isinstance(x, QuantizedWeight):
+            if x.mode == "int4" and len(spec) > 0 and spec[0] is not None:
+                raise NotImplementedError(
+                    "row-parallel sharding of packed int4 weights would split "
+                    "the K-dim nibble pairing; use int8 for row-parallel "
+                    "layers or reshard before quantizing")
+            scale_spec = (P(spec[1]) if len(spec) > 1 and spec[1] is not None
+                          else P())
+            return QuantizedWeight(
+                jax.device_put(x.values, NamedSharding(mesh, spec)),
+                jax.device_put(x.scales, NamedSharding(mesh, scale_spec)),
+                x.mode, x.orig_dtype)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+        place, params, specs,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight))
+

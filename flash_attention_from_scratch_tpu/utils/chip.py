@@ -30,11 +30,23 @@ def device_kind() -> str:
     return jax.devices()[0].device_kind
 
 
+_warned_unknown = False
+
+
 def _lookup():
     kind = device_kind().lower()
     for key, val in _CHIP_TABLE.items():
         if key in kind:
             return val
+    global _warned_unknown
+    if not _warned_unknown:
+        import warnings
+
+        warnings.warn(
+            f"unknown device kind {kind!r}: using v5e speed-of-light "
+            f"constants — %-of-SoL numbers will be wrong for other chips",
+            stacklevel=3)
+        _warned_unknown = True
     return (197.0, 819.0)
 
 
