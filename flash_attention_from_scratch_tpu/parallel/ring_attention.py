@@ -32,6 +32,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.configs import KernelConfig, KVLoop
+from ..ops.flash_backward import flash_backward
 from ..ops.flash_forward import flash_forward_with_lse
 
 __all__ = ["ring_flash_attention"]
@@ -57,18 +58,30 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     Inputs are global (batch, heads, seq, d_head) arrays; seq is sharded
     over ``axis`` and must divide evenly. ``causal`` defaults to
     ``cfg.causal``. Returns the global attention output, seq-sharded the
-    same way.
+    same way. Differentiable: the backward runs its own ring (see
+    ``_ring_bwd``).
     """
     if causal is None:
         causal = cfg.causal
+    return _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret):
+    out, _ = _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret)
+    return out
+
+
+def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
     n_shards = mesh.shape[axis]
     base = dataclasses.replace(cfg, causal=False, kv_loop=KVLoop.GRID)
     diag = dataclasses.replace(base, causal=causal)
     spec = P(None, None, axis, None)
+    lse_spec = P(None, None, axis)
     perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
 
     @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
-             out_specs=spec, check_rep=False)
+             out_specs=(spec, lse_spec), check_rep=False)
     def _ring(q, k, v):
         idx = jax.lax.axis_index(axis)
         # Step 0: own shard (the causal diagonal block when causal).
@@ -85,6 +98,64 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
                 # the past iff idx >= t; otherwise mask it out of the merge.
                 lse_t = jnp.where(idx >= t, lse_t, _NEG)
             o, lse = _merge(o, lse, o_t.astype(jnp.float32), lse_t)
-        return o.astype(q.dtype)
+        return o.astype(q.dtype), lse
 
     return _ring(q, k, v)
+
+
+def _ring_attention_fwd(q, k, v, cfg, mesh, axis, causal, interpret):
+    out, lse = _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
+    """Ring backward: the *global* LSE makes per-pair gradients exact.
+
+    With P_ij = exp(S_ij - lse_i) already the true softmax weights, each
+    (q shard i, kv shard j) pair's dq/dk/dv from the single-chip backward
+    kernels are the exact partial contributions — no merge algebra. dq
+    accumulates in place; dk/dv accumulate on buffers that travel the ring
+    *with* their K/V shard, then take one final hop home.
+    """
+    q, k, v, out, lse = res
+    n_shards = mesh.shape[axis]
+    base = dataclasses.replace(cfg, causal=False, kv_loop=KVLoop.GRID)
+    spec = P(None, None, axis, None)
+    lse_spec = P(None, None, axis)
+    perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec, spec, spec, spec, lse_spec, spec),
+             out_specs=(spec, spec, spec), check_rep=False)
+    def _ring_bwd(q, k, v, out, lse, do):
+        idx = jax.lax.axis_index(axis)
+        dq = jnp.zeros(q.shape, jnp.float32)
+        kk, vv = k, v
+        dkk = jnp.zeros(k.shape, jnp.float32)
+        dvv = jnp.zeros(v.shape, jnp.float32)
+        for t in range(n_shards):
+            if t > 0:
+                kk, vv, dkk, dvv = (jax.lax.ppermute(x, axis, perm)
+                                    for x in (kk, vv, dkk, dvv))
+            pair_cfg = dataclasses.replace(base, causal=causal and t == 0)
+            dq_t, dk_t, dv_t = flash_backward(q, kk, vv, out, lse, do,
+                                              pair_cfg, interpret=interpret)
+            if causal and t > 0:
+                # Shard originated at idx - t: in the future unless idx >= t.
+                valid = (idx >= t).astype(jnp.float32)
+                dq_t = dq_t.astype(jnp.float32) * valid
+                dk_t = dk_t.astype(jnp.float32) * valid
+                dv_t = dv_t.astype(jnp.float32) * valid
+            dq = dq + dq_t.astype(jnp.float32)
+            dkk = dkk + dk_t.astype(jnp.float32)
+            dvv = dvv + dv_t.astype(jnp.float32)
+        # One more hop brings each accumulated dK/dV shard back to its
+        # home device (the shard itself has now gone full circle minus one).
+        dkk = jax.lax.ppermute(dkk, axis, perm)
+        dvv = jax.lax.ppermute(dvv, axis, perm)
+        return dq.astype(q.dtype), dkk.astype(k.dtype), dvv.astype(v.dtype)
+
+    return _ring_bwd(q, k, v, out, lse, g)
+
+
+_ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)

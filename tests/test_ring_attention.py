@@ -32,6 +32,38 @@ def test_ring_matches_reference(sp_mesh, causal):
     assert ok, f"ring causal={causal}: {kerr:.3e} vs baseline {berr:.3e}"
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_backward(sp_mesh, causal):
+    """Ring attention gradients vs jax.grad of the dense reference."""
+    from flash_attention_from_scratch_tpu.ops.reference import reference_attention
+    from flash_attention_from_scratch_tpu.utils.testing import (
+        adaptive_tolerance_check as check,
+    )
+
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=causal)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    do = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=3)[0]
+
+    def loss(q, k, v):
+        return jnp.sum(
+            ring_flash_attention(q, k, v, cfg, sp_mesh, interpret=True) * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, causal=causal) * do)
+
+    ref_g = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    ref32 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            reference_attention(q, k, v, causal=causal) * do.astype(jnp.float32)),
+        argnums=(0, 1, 2),
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    for name, got, r16, r32 in zip("qkv", grads, ref_g, ref32):
+        ok, kerr, berr = check(got, r16, r32)
+        assert ok, f"ring d{name} causal={causal}: {kerr:.3e} vs {berr:.3e}"
+
+
 def test_ring_gqa(sp_mesh):
     cfg = KernelConfig(block_q=128, block_kv=128)
     q, _, _ = generate_qkv(512, n_heads=4, batch=1, dtype=jnp.bfloat16)
