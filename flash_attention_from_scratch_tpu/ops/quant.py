@@ -1,11 +1,11 @@
 """Quantized tensor representation and quantization kernels.
 
 Extension beyond the bf16/fp16 reference (BASELINE north star): symmetric
-per-(batch, head) quantization of K/V to INT8 / packed INT4 / FP8-e4m3, with
-a Pallas quantization kernel (abs-max scale + optional stochastic rounding,
-per the quantization-kernel pattern in the Pallas guide). Dequantization is
-never materialized in HBM — the flash kernel folds the scales into the
-softmax scale (K) and the output normalization (V); see ``flash_quant.py``.
+per-(batch, head) quantization of K/V to INT8 / packed INT4 / FP8-e4m3
+(abs-max scales, deterministic round-to-nearest; plain jnp — XLA fuses the
+scale/round/pack chain into one pass). Dequantization is never materialized
+in HBM — the flash kernel folds the scales into the softmax scale (K) and
+the output normalization (V); see ``flash_quant.py``.
 
 On v5e the int8 MXU path is 2x bf16 throughput; fp8 has no native MXU
 support on v5 (values are stored e4m3 for the 2x HBM saving and upcast to

@@ -93,6 +93,10 @@ def block_flash_attention(
     """
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
+    if s_q % block_q or s_kv % block_kv:
+        raise ValueError(
+            f"seq ({s_q}, {s_kv}) not divisible by blocks "
+            f"({block_q}, {block_kv}) — the mirror would silently drop rows")
     scale = 1.0 / math.sqrt(d)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)

@@ -52,23 +52,28 @@ def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
             if seq % cfg.block_q or seq % cfg.block_kv:
                 continue
             flops = calc_self_attn_flop(seq, cfg.d_head, heads, batch)
-            t0 = time.perf_counter()
             try:
+                # First call = compile + one run; honest label, since the
+                # measurement loop below adds calibration/warmup time that
+                # must not be attributed to compilation.
+                t0 = time.perf_counter()
+                jax.block_until_ready(flash_forward(q, k, v, cfg))
+                first_call_s = time.perf_counter() - t0
                 secs = median_runtime(lambda: flash_forward(q, k, v, cfg),
                                       warmup=2, iters=iters)
             except Exception as e:  # compile failure is a data point, not a crash
                 log(f"  {cfg.short_form()}: FAILED {type(e).__name__}: {str(e)[:80]}")
                 rows.append(dict(config=cfg.short_form(), ms=None, tflops=0.0,
-                                 pct_sol=0.0, compile_s=None, error=str(e)[:200]))
+                                 pct_sol=0.0, first_call_s=None,
+                                 error=str(e)[:200]))
                 continue
-            compile_s = time.perf_counter() - t0 - secs * iters
             tflops = flops / secs / 1e12
             rows.append(dict(
                 config=cfg.short_form(),
                 ms=round(secs * 1e3, 4),
                 tflops=round(tflops, 2),
                 pct_sol=round(100 * tflops / chip_sol_tflops(), 2),
-                compile_s=round(max(compile_s, 0.0), 1),
+                first_call_s=round(first_call_s, 1),
                 error="",
             ))
             log(f"  {cfg.short_form()}: {secs*1e3:8.3f} ms  {tflops:7.2f} TFLOP/s"
@@ -107,7 +112,9 @@ def main(argv=None):
         print(f"{r['config']:<44} {r['ms'] or float('nan'):>9} {r['tflops']:>8} "
               f"{r['pct_sol']:>6} {pct_mm:>6.2f}")
 
-    if args.csv:
+    if args.csv and not rows:
+        print("no configs ran (dtype filter / tileability); CSV not written")
+    elif args.csv:
         os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
         with open(args.csv, "w", newline="") as f:
             w = csv_mod.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -52,16 +52,17 @@ def bench(configs, seq_lens, heads: int = 16, iters: int = 7, log=print):
     results: dict[str, dict[int, float]] = {}
     for seq in seq_lens:
         batch = BATCH_SIZE_FOR_SEQ_LEN.get(seq, 4)
-        by_dtype = {}
+        by_key = {}
         for cfg in configs:
             if seq % cfg.block_q or seq % cfg.block_kv:
                 continue
-            if cfg.dtype not in by_dtype:
-                by_dtype[cfg.dtype] = generate_qkv(
+            key = (cfg.dtype, cfg.d_head)
+            if key not in by_key:
+                by_key[key] = generate_qkv(
                     seq, d_head=cfg.d_head, n_heads=heads, batch=batch,
                     dtype=cfg.dtype.jnp_dtype,
                 )
-            q, k, v = by_dtype[cfg.dtype]
+            q, k, v = by_key[key]
             secs = median_runtime(lambda: flash_forward(q, k, v, cfg),
                                   warmup=2, iters=iters)
             tflops = calc_self_attn_flop(seq, cfg.d_head, heads, batch) / secs / 1e12
@@ -105,18 +106,22 @@ def main(argv=None):
     rows = []
     for name, per_seq in results.items():
         hm = harmonic_mean(list(per_seq.values()))
+        partial = len(per_seq) < len(seq_lens)
         line = f"{name:<44}" + "".join(
             f"{per_seq.get(s, float('nan')):>9.1f}" for s in seq_lens
-        ) + f"{hm:>9.1f}{100*hm/sol:>7.1f}{100*hm/mm:>7.1f}"
+        ) + f"{hm:>9.1f}{100*hm/sol:>7.1f}{100*hm/mm:>7.1f}" +             ("  (partial: skipped non-tileable seqs)" if partial else "")
         print(line)
         row = {"config": name, **{f"seq{s}": round(per_seq.get(s, 0), 2) for s in seq_lens},
                "harmonic_mean": round(hm, 2), "pct_sol": round(100 * hm / sol, 2),
-               "pct_matmul": round(100 * hm / mm, 2), "commit": _git_commit()}
+               "pct_matmul": round(100 * hm / mm, 2),
+               "n_seqs": len(per_seq), "commit": _git_commit()}
         rows.append(row)
         if args.json:
             print(json.dumps(row))
 
-    if args.csv:
+    if args.csv and not rows:
+        print("no configs ran; CSV not written")
+    elif args.csv:
         os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
         with open(args.csv, "w", newline="") as f:
             w = csv_mod.DictWriter(f, fieldnames=list(rows[0].keys()))

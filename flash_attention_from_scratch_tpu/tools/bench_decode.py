@@ -163,7 +163,11 @@ def main(argv=None):
     # HBM roofline: per step the chip reads all weights once (batch amortizes
     # the weight stream across sequences) plus each sequence's KV window.
     kv_bytes_per_tok = cache.k_pages[0].dtype.itemsize * cfg.d_head * 2
-    mean_ctx = args.context + args.warmup + args.steps / 2
+    # Mean context of the *timed* window per mode: scan/unroll warm with a
+    # full extra pass of args.steps before timing; per-step warms args.warmup.
+    warm_tokens = (args.steps if args.scan
+                   else args.unroll if args.unroll > 1 else args.warmup)
+    mean_ctx = args.context + warm_tokens + args.steps / 2
     kv_read = args.batch * mean_ctx * cfg.n_kv_heads * cfg.n_layers * kv_bytes_per_tok
     step_bytes = pbytes + kv_read
     roofline_tps = hbm_gbps() * 1e9 / step_bytes * args.batch

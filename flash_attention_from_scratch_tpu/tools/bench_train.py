@@ -32,8 +32,9 @@ __all__ = ["main"]
 def train_flops(cfg: LlamaConfig, batch: int, seq: int) -> float:
     """fwd+bwd FLOPs per step: 6·params·tokens + attention term."""
     n_params = (
-        cfg.vocab_size * cfg.dim * 2  # embed + lm_head
-        + cfg.n_layers * (
+        cfg.vocab_size * cfg.dim  # lm_head only: embedding is a gather,
+        + cfg.n_layers * (        # not a matmul — no FLOPs to count
+
             cfg.dim * cfg.n_heads * cfg.d_head * 2      # wq, wo
             + cfg.dim * cfg.n_kv_heads * cfg.d_head * 2  # wk, wv
             + 3 * cfg.dim * cfg.hidden_dim               # gate, up, down

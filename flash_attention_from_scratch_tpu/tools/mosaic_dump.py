@@ -140,6 +140,9 @@ def main(argv=None):
     for cfg in get_kernel_configs(args.kernels):
         if cfg.dtype != dtype:
             continue
+        if args.seq % cfg.block_q or args.seq % cfg.block_kv:
+            print(f"skipping {cfg.short_form()}: seq {args.seq} not tileable")
+            continue
         name = cfg.short_form()
         print(f"lowering {name} ...")
         dump = lower_kernel(cfg, seq=args.seq)

@@ -44,6 +44,9 @@ def main(argv=None):
 
     dtype = DType.from_short(args.dtype)
     configs = [c for c in get_kernel_configs(args.kernels) if c.dtype == dtype]
+    if not configs:
+        print(f"no configs matched --kernels {args.kernels} --dtype {args.dtype}")
+        return 2  # nothing checked must not read as a pass
     if args.kernel is not None:
         configs = [configs[args.kernel]]
 
@@ -52,6 +55,7 @@ def main(argv=None):
     ref_native, ref_fp32 = reference_pair(q, k, v)
 
     n_bad = 0
+    n_ran = 0
     for cfg in configs:
         if args.seq % cfg.block_q or args.seq % cfg.block_kv:
             print(f"{cfg.short_form():<44} SKIP (seq {args.seq} not tileable)")
@@ -63,6 +67,10 @@ def main(argv=None):
         n_bad += not ok
         print(f"{cfg.short_form():<44} {verdict} kerr={kerr:.3e} "
               f"(2x-bound from {berr:.3e}) {stats}")
+        n_ran += 1
+    if n_ran == 0:
+        print("every config was skipped (tileability): nothing checked")
+        return 2
     return 1 if n_bad else 0
 
 
