@@ -208,7 +208,16 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
     k = apply_rope(k, cos, sin)
     # GQA is native to the kernel: Q head h reads KV head h // group via the
     # BlockSpec index map, so K/V are never materialized at n_heads width.
-    if mesh is not None:
+    if mesh is not None and "sp" in mesh.axis_names:
+        # Context parallelism: sequence shards stay resident, K/V rotate
+        # around the ICI ring. Everything else in the layer is pointwise
+        # over seq, so only attention needs the ring.
+        from ..parallel.ring_attention import ring_flash_attention
+
+        out = ring_flash_attention(
+            q, k, v, cfg.attn_config(s // mesh.shape["sp"]), mesh,
+            axis="sp", interpret=interpret)
+    elif mesh is not None:
         from ..parallel.sharded_attention import shard_mapped_attention
 
         out = shard_mapped_attention(q, k, v, cfg.attn_config(s), mesh, interpret)
