@@ -111,6 +111,17 @@ def test_fori_multi_buffer():
                         num_kv_buffers=3))
 
 
+def test_d_head_256():
+    """The reference is hardwired to d_head 128; here any 128-multiple works."""
+    cfg = KernelConfig(block_q=128, block_kv=256, d_head=256)
+    q, k, v = generate_qkv(512, d_head=256, n_heads=2, batch=1,
+                           dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"d256: {kerr:.3e} vs {berr:.3e}"
+
+
 def test_custom_scale():
     cfg = KernelConfig(block_q=128, block_kv=128)
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
