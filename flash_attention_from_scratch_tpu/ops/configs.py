@@ -130,6 +130,17 @@ class KernelConfig:
     fused_scale: bool = False  # max on raw S; scale folded into the exp FMA
     mxu_row_sum: bool = False  # l = P @ ones on the MXU instead of VPU reduce
     scale_q: bool = True  # pre-scale the Q block (d cols) instead of S (kv cols): +13% at seq 4096 on v5e
+    # Split-partials softmax: cut each KV block into kv_splits independent
+    # sub-tiles, each with a *local* max/sum, merged flash-style at the end
+    # (the d_head-wide merge passes cost ~d/block_kv of an S-tile pass).
+    # Removing the data dependence between sub-tile i's exp (VPU) and
+    # sub-tile i+1's QK^T (MXU) lets Mosaic overlap the two units — the TPU
+    # analogue of the reference's ladder step 4 "interleave LD/ST with
+    # compute" (forward_kernel.cuh:37-49), except the interleave here is
+    # VPU-vs-MXU rather than copy-vs-compute. Measured on v5e at seq 4096:
+    # 163 -> 179 TFLOP/s; at seq 16384 it reaches the chip's measured matmul
+    # ceiling (187 TFLOP/s).
+    kv_splits: int = 1
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -159,6 +170,15 @@ class KernelConfig:
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
             )
+        if self.kv_splits < 1:
+            raise ValueError("kv_splits must be >= 1")
+        if self.kv_splits > 1 and (
+            self.block_kv % self.kv_splits or (self.block_kv // self.kv_splits) % 128
+        ):
+            raise ValueError(
+                f"kv_splits {self.kv_splits} must divide block_kv {self.block_kv} "
+                "into lane-aligned (multiple-of-128) sub-tiles"
+            )
 
     # Largest S/P fp32 tile the kernel should allocate: measured on v5e,
     # block (512, 16384) — a 32 MB tile — still wins (whole-sequence KV
@@ -167,7 +187,7 @@ class KernelConfig:
     S_TILE_BUDGET_BYTES = 32 * 1024 * 1024
 
     @classmethod
-    def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int = 512,
+    def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int | None = None,
                   preferred_kv: int | None = None, **kwargs) -> "KernelConfig":
         """Best-known config clamped so the blocks tile (seq_q, seq_kv).
 
@@ -191,11 +211,25 @@ class KernelConfig:
         # Q-block quantum: the dtype's native sublane tile (bf16 16, int8 32)
         # so chosen blocks never force a Mosaic relayout.
         dtype = kwargs.get("dtype", DType.BF16)
+        if preferred_q is None:
+            # Largest Q block whose *whole-sequence* S tile still fits the
+            # budget: block_q 1024 wins while KV stays single-shot (182 vs
+            # 179 TFLOP/s at seq 4096 on v5e), but halving the KV budget to
+            # keep it loses far more (97 vs 188 at seq 16384) — whole-seq KV
+            # dominates the Q-block choice.
+            preferred_q = 1024 if 4 * 1024 * seq_kv <= cls.S_TILE_BUDGET_BYTES \
+                else 512
         bq = clamp(preferred_q, seq_q, dtype.min_tile[0])
         if preferred_kv is None:
             preferred_kv = max(cls.S_TILE_BUDGET_BYTES // (4 * bq), 128)
-        return cls(block_q=bq, block_kv=clamp(preferred_kv, seq_kv, 128),
-                   **kwargs)
+        bkv = clamp(preferred_kv, seq_kv, 128)
+        if "kv_splits" not in kwargs and bkv >= 2048:
+            # Autotuned v5e sweet spot: ~1 K-lane sub-tiles up to block_kv
+            # 4096, ~2 K above (profiles/split_partials_v5e.csv).
+            sub = 2048 if bkv >= 8192 else 1024
+            if bkv % sub == 0:
+                kwargs["kv_splits"] = bkv // sub
+        return cls(block_q=bq, block_kv=bkv, **kwargs)
 
     # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,
     #    flash_attention.cuh:54-65) ------------------------------------------
@@ -218,7 +252,10 @@ class KernelConfig:
         acc = self.block_q * self.d_head * 4
         stats = 2 * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
         p = self.block_q * self.block_kv * 4  # S/P tile in fp32
-        return q + kv + out + acc + stats + p
+        # Split-partials keeps one fp32 accumulator + (m, l) column per
+        # sub-tile live until the end-of-block merge.
+        partials = (self.kv_splits - 1) * self.block_q * (self.d_head + 2) * 4
+        return q + kv + out + acc + stats + p + partials
 
     def fits_vmem(self) -> bool:
         return self.vmem_bytes() <= self.vmem_limit_mb * 1024 * 1024
@@ -240,6 +277,8 @@ class KernelConfig:
             flags.append("ms")
         if self.scale_q:
             flags.append("sq")
+        if self.kv_splits > 1:
+            flags.append(f"sp{self.kv_splits}")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -256,7 +295,7 @@ class KernelConfig:
 
 _SHORT_RE = re.compile(
     r"fa_(?P<dtype>[a-z0-9]+)_q(?P<bq>\d+)_kv(?P<bkv>\d+)_d(?P<d>\d+)"
-    r"_(?P<loop>grid|fori)(?P<nbuf>\d+)_(?P<flags>[a-z2+]+)"
+    r"_(?P<loop>grid|fori)(?P<nbuf>\d+)_(?P<flags>[a-z0-9+]+)"
 )
 
 
@@ -271,7 +310,12 @@ def parse_short_form(s: str) -> KernelConfig:
     if not m:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
+    kv_splits = 1
+    for f in flags:
+        if f.startswith("sp") and f[2:].isdigit():
+            kv_splits = int(f[2:])
     return KernelConfig(
+        kv_splits=kv_splits,
         block_q=int(m.group("bq")),
         block_kv=int(m.group("bkv")),
         d_head=int(m.group("d")),
@@ -375,11 +419,18 @@ def get_autotuning_kernel_configs(
         dtypes, (128, 256, 512, 1024),
         (256, 512, 1024, 2048, 4096, 8192, 16384), (False, True)
     ):
-        cfg = KernelConfig(
-            block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype, reverse_kv=rev
-        )
-        if should_autotune_config(cfg):
-            out.append(cfg)
+        # Split counts that yield the measured sub-tile sweet spots (~1-2 K
+        # lanes) plus the unsplit baseline.
+        splits = {1} | {
+            bkv // sub for sub in (1024, 2048) if bkv % sub == 0 and bkv > sub
+        }
+        for sp in sorted(splits):
+            cfg = KernelConfig(
+                block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype,
+                reverse_kv=rev, kv_splits=sp,
+            )
+            if should_autotune_config(cfg):
+                out.append(cfg)
     return out
 
 
@@ -421,6 +472,11 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
         # S tile: one fewer VPU pass over (block_q, block_kv) per step
         # (+13% at seq 4096 on v5e).
         ("8_scale_q", KernelConfig(dtype=dtype, block_q=512, block_kv=1024)),
+        # (TPU-only) split-partials softmax: independent sub-tile max/sum
+        # merged at block end so Mosaic overlaps the VPU exp pass with the
+        # next sub-tile's MXU matmul (163 -> 179 TFLOP/s at seq 4096 on v5e).
+        ("9_split_partials", KernelConfig(dtype=dtype, block_q=512,
+                                          block_kv=2048, kv_splits=2)),
     ]
     return ladder
 

@@ -128,6 +128,89 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     return m_new, l_new, acc
 
 
+def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
+                        q_span, kv_start, m_prev, l_prev, acc_prev):
+    """Split-partials online-softmax update over one KV block.
+
+    The KV block is cut into ``cfg.kv_splits`` sub-tiles; each computes a
+    *local* (m_i, l_i, acc_i) with no data dependence on its neighbours, so
+    Mosaic's scheduler overlaps sub-tile i's exp pass (VPU) with sub-tile
+    i+1's QK^T (MXU) — the serial QK->exp->PV chain of :func:`_attend_block`
+    is what leaves the MXU idle. The flash-style merge at the end touches
+    only (block_q, d_head)/(block_q, 1) arrays, ~d/block_kv of an S-tile
+    pass. Unlike :func:`_attend_block` this takes (q, k, v), not a
+    precomputed S tile: the per-sub-tile matmuls are the point.
+
+    Q must already carry the softmax scale when ``cfg.scale_q``; running
+    statistics stay in the scaled domain exactly as in :func:`_attend_block`.
+    """
+    n = cfg.kv_splits
+    sub = k.shape[0] // n
+    c = scale * LOG2E if cfg.use_exp2 else scale
+    exp_fn = jnp.exp2 if cfg.use_exp2 else jnp.exp
+    if cfg.scale_q:
+        c = 1.0
+
+    ms, ls, accs = [], [], []
+    for i in range(n):
+        ks = k[i * sub:(i + 1) * sub, :]
+        vs = v[i * sub:(i + 1) * sub, :]
+        s = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )
+        if not cfg.fused_scale:
+            if c != 1.0:
+                s = s * c
+        if cfg.causal:
+            q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_pos = (kv_start + i * sub
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
+        m_i = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+        if cfg.fused_scale:
+            m_i = m_i * c
+            p = exp_fn(s * c - m_i)
+        else:
+            p = exp_fn(s - m_i)
+        p_mm = p.astype(cfg.dtype.jnp_dtype) if cfg.cast_p_to_dtype else p
+        l_i = _row_sum(cfg, p, p_mm)
+        acc_i = jax.lax.dot_general(
+            p_mm, vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )
+        ms.append(m_i)
+        ls.append(l_i)
+        accs.append(acc_i)
+
+    # Flash-style merge of the partials (and the running stats, if any).
+    # A fully-masked causal sub-tile has m_i = MASK_VALUE, so its
+    # exp_fn(m_i - m_row) weight underflows to exactly 0.
+    m_cur = functools.reduce(jnp.maximum, ms)  # (block_q, 1)
+    if m_prev is None:
+        m_new = jnp.broadcast_to(m_cur, (q.shape[0], _STATS_LANES))
+        l_tot = jnp.zeros_like(ls[0])
+        acc = jnp.zeros_like(accs[0])
+        for m_i, l_i, acc_i in zip(ms, ls, accs):
+            w = exp_fn(m_i - m_cur)
+            l_tot = l_tot + l_i * w
+            acc = acc + acc_i * w
+        return m_new, jnp.broadcast_to(l_tot, m_new.shape), acc
+
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    m_row = m_new[:, :1]
+    alpha = exp_fn(m_prev - m_new)  # (block_q, lanes); rows identical
+    l_tot = jnp.zeros_like(ls[0])
+    acc = jnp.zeros_like(accs[0])
+    for m_i, l_i, acc_i in zip(ms, ls, accs):
+        w = exp_fn(m_i - m_row)
+        l_tot = l_tot + l_i * w
+        acc = acc + acc_i * w
+    l_new = l_prev * alpha + jnp.broadcast_to(l_tot, l_prev.shape)
+    acc = acc_prev * alpha[:, :1] + acc
+    return m_new, l_new, acc
+
+
 # ---------------------------------------------------------------------------
 # GRID variant: KV blocks as innermost grid dimension (Pallas auto-pipeline).
 # ---------------------------------------------------------------------------
@@ -170,27 +253,35 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
             q = (q.astype(jnp.float32) * c).astype(q.dtype)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-        )
+
+        if cfg.kv_splits > 1:
+            def attend(m, l, acc):
+                return _attend_block_split(
+                    cfg, scale, q, k, v, q_span, kv_start, m, l, acc
+                )
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
+
+            def attend(m, l, acc):
+                return _attend_block(
+                    cfg, scale, s, v, q_span, kv_start, m, l, acc
+                )
 
         if cfg.optimized_softmax:
             @pl.when(is_first)
             def _():
-                m, l, acc = _attend_block(
-                    cfg, scale, s, v, q_span, kv_start, None, None, None
-                )
+                m, l, acc = attend(None, None, None)
                 m_ref[...] = m
                 l_ref[...] = l
                 acc_ref[...] = acc
 
             @pl.when(jnp.logical_not(is_first))
             def _():
-                m, l, acc = _attend_block(
-                    cfg, scale, s, v, q_span, kv_start,
-                    m_ref[...], l_ref[...], acc_ref[...],
-                )
+                m, l, acc = attend(m_ref[...], l_ref[...], acc_ref[...])
                 m_ref[...] = m
                 l_ref[...] = l
                 acc_ref[...] = acc
@@ -201,10 +292,7 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
                 l_ref[...] = jnp.zeros_like(l_ref)
                 acc_ref[...] = jnp.zeros_like(acc_ref)
 
-            m, l, acc = _attend_block(
-                cfg, scale, s, v, q_span, kv_start,
-                m_ref[...], l_ref[...], acc_ref[...],
-            )
+            m, l, acc = attend(m_ref[...], l_ref[...], acc_ref[...])
             m_ref[...] = m
             l_ref[...] = l
             acc_ref[...] = acc
@@ -343,23 +431,30 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         c0 = (scale * LOG2E) if cfg.use_exp2 else scale
         q = (q.astype(jnp.float32) * c0).astype(q.dtype)
 
+    def attend(slot, step, carry):
+        m, l, acc = carry
+        kv_start = kv_block_of(step) * cfg.block_kv
+        if cfg.kv_splits > 1:
+            return _attend_block_split(
+                cfg, scale, q, k_buf[slot], v_buf[slot], q_span, kv_start,
+                m, l, acc,
+            )
+        s = jax.lax.dot_general(
+            q, k_buf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
+        )
+        return _attend_block(cfg, scale, s, v_buf[slot], q_span, kv_start,
+                             m, l, acc)
+
     if nbuf == 1:
         # Ladder step 1 "base": fully synchronous copies, no overlap
         # (analogue of the reference's non-async_copy config,
         # previous_kernels/src_1-7).
         def body(step, carry):
-            m, l, acc = carry
             k_dma, v_dma = dma(0, step)
             k_dma.start(); v_dma.start()
             k_dma.wait(); v_dma.wait()
-            s = jax.lax.dot_general(
-                q, k_buf[0], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-            )
-            return _attend_block(
-                cfg, scale, s, v_buf[0], q_span,
-                kv_block_of(step) * cfg.block_kv, m, l, acc,
-            )
+            return attend(0, step, carry)
     else:
         # Double(+)-buffered: kick off block step+1 while computing step
         # (ladder steps 3-4: eager loads, LD/ST interleaved with compute).
@@ -367,7 +462,6 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         k0.start(); v0.start()
 
         def body(step, carry):
-            m, l, acc = carry
             slot = jax.lax.rem(step, nbuf)
             next_slot = jax.lax.rem(step + 1, nbuf)
 
@@ -378,14 +472,7 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
 
             kc, vc = dma(slot, step)
             kc.wait(); vc.wait()
-            s = jax.lax.dot_general(
-                q, k_buf[slot], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-            )
-            return _attend_block(
-                cfg, scale, s, v_buf[slot], q_span,
-                kv_block_of(step) * cfg.block_kv, m, l, acc,
-            )
+            return attend(slot, step, carry)
 
     init = (
         jnp.full((cfg.block_q, _STATS_LANES), MASK_VALUE, jnp.float32),

@@ -60,8 +60,9 @@ def test_progression_ladder_shape():
     ladder = get_kernel_progression_configs()
     names = [n for n, _ in ladder]
     assert names[0] == "1_base"
-    assert len(ladder) == 8
-    assert names[-1] == "8_scale_q" and ladder[-1][1].scale_q
+    assert len(ladder) == 9
+    assert names[-1] == "9_split_partials" and ladder[-1][1].kv_splits > 1
+    assert ladder[-2][1].scale_q
     # The base rung must be the synchronous fori variant.
     assert ladder[0][1].kv_loop == KVLoop.FORI
     assert ladder[0][1].num_kv_buffers == 1

@@ -146,3 +146,76 @@ def test_validation_errors():
         flash_forward(q[:, :, :100], k, v, cfg)
     with pytest.raises(ValueError):  # K/V mismatch
         flash_forward(q, k, v[:, :, :128], cfg)
+
+
+# -- split-partials softmax (kv_splits) --------------------------------------
+
+
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+@pytest.mark.parametrize("causal", [False, True])
+def test_kv_splits(kv_loop, causal):
+    """Independent sub-tile partials, merged flash-style at block end."""
+    cfg = KernelConfig(block_q=128, block_kv=256, kv_splits=2, causal=causal,
+                       kv_loop=kv_loop)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"kv_splits {kv_loop} causal={causal}: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_kv_splits_single_block_gqa():
+    """Whole-sequence KV block + splits + GQA: the production fast path."""
+    cfg = KernelConfig(block_q=128, block_kv=512, kv_splits=4)
+    q, _, _ = generate_qkv(512, n_heads=8, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=1)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"kv_splits gqa: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_kv_splits_causal_masked_subtile():
+    """A sub-tile that is fully masked must contribute exactly zero.
+
+    With block_kv == seq and kv_splits 4, the first Q block (rows 0-127)
+    sees sub-tiles 2-4 fully above the causal diagonal: their local max is
+    the mask value and their merge weight underflows to 0.
+    """
+    cfg = KernelConfig(block_q=128, block_kv=512, kv_splits=4, causal=True)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"masked sub-tile: {kerr:.3e} vs {berr:.3e}"
+    assert not jnp.any(jnp.isnan(out.astype(jnp.float32)))
+
+
+def test_kv_splits_lse():
+    """The LSE residual must be split-invariant (backward-pass contract)."""
+    from flash_attention_from_scratch_tpu.ops.flash_forward import (
+        flash_forward_with_lse,
+    )
+
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    base = KernelConfig(block_q=128, block_kv=512)
+    split = KernelConfig(block_q=128, block_kv=512, kv_splits=4)
+    _, lse_base = flash_forward_with_lse(q, k, v, base)
+    out, lse_split = flash_forward_with_lse(q, k, v, split)
+    assert float(jnp.max(jnp.abs(lse_base - lse_split))) < 1e-3
+
+
+def test_kv_splits_validation():
+    with pytest.raises(ValueError):  # does not divide
+        KernelConfig(block_kv=512, kv_splits=3)
+    with pytest.raises(ValueError):  # sub-tile below one lane tile
+        KernelConfig(block_kv=256, kv_splits=4)
+
+
+def test_for_shape_picks_splits():
+    cfg = KernelConfig.for_shape(4096, 4096)
+    assert cfg.block_kv == 4096 and cfg.kv_splits == 4
+    cfg = KernelConfig.for_shape(16384, 16384)
+    assert cfg.kv_splits == cfg.block_kv // 2048
+    cfg = KernelConfig.for_shape(1024, 1024)
+    assert cfg.kv_splits == 1
