@@ -40,10 +40,23 @@ def forward_timed(q, k, v, cfg: KernelConfig | None = None, *, scale=None,
     (``flash_attention.cu:114-132``): compile + warm up first, then time
     synchronous dispatches with ``block_until_ready`` fencing. Uses the
     median, which is robust to the occasional host hiccup.
+
+    When the output has Q's shape/dtype (self-attention), each timed
+    dispatch feeds its output back in as the next Q: the relay has been
+    observed to occasionally serve streams of *identical* dispatches ~40%
+    too fast (whole 10-sample trials reading 304 "TFLOP/s" at seq 4096),
+    and a data dependence between consecutive calls makes that impossible
+    by construction. Kernel runtime is value-independent, so the chain
+    does not bias the number.
     """
     out = sync(flash_forward(q, k, v, cfg, scale=scale))
+    chain_fn = None
+    if out.shape == q.shape and out.dtype == q.dtype:
+        def chain_fn(prev):
+            return flash_forward(prev, k, v, cfg, scale=scale)
     runtime = median_runtime(
-        lambda: flash_forward(q, k, v, cfg, scale=scale), warmup=warmup, iters=iters
+        lambda: flash_forward(q, k, v, cfg, scale=scale),
+        warmup=warmup, iters=iters, chain_fn=chain_fn,
     )
     return out, runtime
 
@@ -69,13 +82,21 @@ def sync_overhead() -> float:
     return samples[len(samples) // 2]
 
 
-def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None) -> float:
+def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None,
+                   chain_fn=None) -> float:
     """Median device seconds per ``fn()`` call.
 
     Each sample enqueues ``inner`` back-to-back dispatches and fences once;
     the calibrated fence cost (:func:`sync_overhead`) is subtracted from the
     sample. ``inner`` is auto-chosen so the fence bias is <~2% even for
     microsecond kernels. Median over ``iters`` samples resists host hiccups.
+
+    ``chain_fn(prev_result) -> result``, when given, produces dispatch i+1
+    from dispatch i's output instead of repeating ``fn()``. Streams of
+    byte-identical dispatches through the axon relay have been observed to
+    complete impossibly fast (above the chip's measured matmul ceiling) for
+    entire trials; a value chain forces real serial execution, which a
+    median cannot recover once more than half the samples are poisoned.
     """
     for _ in range(warmup):
         sync(fn())
@@ -91,9 +112,9 @@ def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = N
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        r = None
-        for _ in range(inner):
-            r = fn()
+        r = fn()
+        for _ in range(inner - 1):
+            r = chain_fn(r) if chain_fn is not None else fn()
         sync(r)
         times.append((time.perf_counter() - t0 - ovh) / inner)
     times.sort()

@@ -38,11 +38,19 @@ __all__ = ["tune", "main"]
 
 
 def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
-    """Measure each config; returns rows sorted by TFLOP/s descending."""
+    """Measure each config; returns rows sorted by TFLOP/s descending.
+
+    Samples are chained (each dispatch's output feeds the next Q) and any
+    measurement implying throughput above 1.05x the chip's measured matmul
+    ceiling is re-measured once and, if still impossible, marked — the
+    relay can serve identical-dispatch streams too fast, and an autotuner
+    that sorts by max TFLOP/s would otherwise crown those artifacts.
+    """
     dtype_groups: dict[DType, list[KernelConfig]] = {}
     for cfg in configs:
         dtype_groups.setdefault(cfg.dtype, []).append(cfg)
 
+    ceiling = measured_matmul_tflops() * 1.05
     flops = None
     rows = []
     for dtype, cfgs in dtype_groups.items():
@@ -57,10 +65,20 @@ def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
                 # measurement loop below adds calibration/warmup time that
                 # must not be attributed to compilation.
                 t0 = time.perf_counter()
-                jax.block_until_ready(flash_forward(q, k, v, cfg))
+                out = jax.block_until_ready(flash_forward(q, k, v, cfg))
                 first_call_s = time.perf_counter() - t0
-                secs = median_runtime(lambda: flash_forward(q, k, v, cfg),
-                                      warmup=2, iters=iters)
+                chain = None
+                if out.shape == q.shape and out.dtype == q.dtype:
+                    def chain(prev, cfg=cfg):
+                        return flash_forward(prev, k, v, cfg)
+                measure = lambda: median_runtime(  # noqa: E731
+                    lambda: flash_forward(q, k, v, cfg),
+                    warmup=2, iters=iters, chain_fn=chain)
+                secs = measure()
+                if flops / secs / 1e12 > ceiling:
+                    log(f"  {cfg.short_form()}: {flops/secs/1e12:.1f} TFLOP/s "
+                        f"exceeds matmul ceiling — re-measuring")
+                    secs = max(secs, measure())
             except Exception as e:  # compile failure is a data point, not a crash
                 log(f"  {cfg.short_form()}: FAILED {type(e).__name__}: {str(e)[:80]}")
                 rows.append(dict(config=cfg.short_form(), ms=None, tflops=0.0,
@@ -68,6 +86,13 @@ def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
                                  error=str(e)[:200]))
                 continue
             tflops = flops / secs / 1e12
+            if tflops > ceiling:
+                rows.append(dict(config=cfg.short_form(),
+                                 ms=round(secs * 1e3, 4), tflops=0.0,
+                                 pct_sol=0.0, first_call_s=round(first_call_s, 1),
+                                 error=f"timing artifact: {tflops:.1f} TFLOP/s "
+                                       f"> ceiling {ceiling:.1f}"))
+                continue
             rows.append(dict(
                 config=cfg.short_form(),
                 ms=round(secs * 1e3, 4),

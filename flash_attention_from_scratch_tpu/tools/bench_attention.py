@@ -63,8 +63,10 @@ def bench(configs, seq_lens, heads: int = 16, iters: int = 7, log=print):
                     dtype=cfg.dtype.jnp_dtype,
                 )
             q, k, v = by_key[key]
-            secs = median_runtime(lambda: flash_forward(q, k, v, cfg),
-                                  warmup=2, iters=iters)
+            secs = median_runtime(
+                lambda: flash_forward(q, k, v, cfg), warmup=2, iters=iters,
+                chain_fn=lambda prev, cfg=cfg: flash_forward(prev, k, v, cfg),
+            )
             tflops = calc_self_attn_flop(seq, cfg.d_head, heads, batch) / secs / 1e12
             results.setdefault(cfg.short_form(), {})[seq] = tflops
             log(f"  seq {seq:>6} {cfg.short_form():<44} {secs*1e3:9.3f} ms "
