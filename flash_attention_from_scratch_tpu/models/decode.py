@@ -30,7 +30,7 @@ from ..ops.quant import KVQuantMode
 from .llama import LlamaConfig, _mlp, _mm, apply_rope, rms_norm, rope_tables
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step",
-           "greedy_token", "sample_token"]
+           "decode_loop", "greedy_token", "sample_token"]
 
 _QMAX = {"int8": 127.0, "int4": 7.0, "fp8": 448.0}
 
@@ -349,6 +349,61 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
     return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps", "temperature",
+                                             "top_k", "interpret", "mesh"),
+                   donate_argnames=("cache",))
+def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
+                lengths, page_tables, steps: int, *, row_keys=None,
+                pos0=None, temperature: float = 0.0, top_k: int = 0,
+                interpret: Optional[bool] = None, mesh=None):
+    """``steps`` decode iterations inside ONE jit via ``lax.scan``.
+
+    Amortizes host dispatch over a whole chunk: through the axon tunnel one
+    ``decode_step`` call pays ~8-12 ms of host overhead on a ~16 ms device
+    step, so chunking is nearly a 2x serving-throughput lever on its own.
+
+    Unlike :func:`decode_step`, token selection happens **in-graph**:
+    greedy at ``temperature <= 0`` (or when ``row_keys`` is None), else
+    temperature/top-k sampling with the key for row r at loop step i
+    derived as ``fold_in(row_keys[r], pos0[r] + i)`` — the same
+    (sequence, position) keying the serving loop uses, so a chunked and a
+    step-by-step server replay identical trajectories (including after
+    recompute preemption).
+
+    Args:
+      tokens: (batch,) int32 — last committed token per sequence.
+      lengths: (batch,) int32 — committed length per sequence (prompt +
+        generated so far, *excluding* the tokens this call generates);
+        note this differs from ``decode_step``, which takes the length
+        including the token being decoded.
+      page_tables: (batch, pages_per_seq) int32 covering the final length
+        ``lengths + steps`` (pages must be pre-allocated for the chunk).
+      row_keys: optional (batch,) PRNG keys (one per sequence).
+      pos0: (batch,) int32 — generated-token count per row at chunk start
+        (the position fold for sampling); required when sampling.
+
+    Returns ``(out_tokens (batch, steps) int32, cache, lengths + steps)``.
+    """
+    def body(carry, i):
+        toks, cache, lengths = carry
+        lengths = lengths + 1
+        logits, cache = decode_step(params, toks, cfg, cache, lengths,
+                                    page_tables, interpret=interpret,
+                                    mesh=mesh)
+        if temperature <= 0.0 or row_keys is None:
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            def pick(kr, p, lg):
+                return sample_token(lg, jax.random.fold_in(kr, p),
+                                    temperature, top_k)
+            nxt = jax.vmap(pick)(row_keys, pos0 + i, logits)
+        return (nxt, cache, lengths), nxt
+
+    (toks, cache, lengths), out = jax.lax.scan(
+        body, (tokens, cache, lengths), jnp.arange(steps))
+    return out.T, cache, lengths
 
 
 def greedy_token(logits) -> jax.Array:

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.decode import (
-    PagedKVCache, decode_step, greedy_token, init_cache, prefill, sample_token,
+    PagedKVCache, decode_loop, decode_step, greedy_token, init_cache, prefill,
+    sample_token,
 )
 from ..models.llama import LlamaConfig
 from .runtime import PagedEngine
@@ -46,6 +47,7 @@ def _pad_to_multiple(tokens: list[int], quantum: int = 128) -> np.ndarray:
 class _SeqState:
     prompt: list[int]
     generated: list[int]
+    max_new: int = 0
     prefilled: bool = False
 
 
@@ -60,7 +62,7 @@ class GenerationServer:
                  page_size: int, max_batch: int,
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
-                 interpret: Optional[bool] = None):
+                 chunk: int = 1, interpret: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.mode = mode
@@ -70,17 +72,24 @@ class GenerationServer:
                                   max_pages_per_seq=self.pages_per_seq)
         self.scratch_page = num_pages - 1  # never handed out by the engine
         self.max_batch = max_batch
+        self.page_size = page_size
         self.cache = init_cache(cfg, num_pages, page_size, mode)
         self.seqs: dict[int, _SeqState] = {}
         self.steps = 0
         self.decode_tokens = 0
         self.temperature = temperature
         self.top_k = top_k
+        if not 1 <= chunk <= page_size:
+            # Padding rows park their chunk KV in the single scratch page,
+            # so a chunk may not outgrow it.
+            raise ValueError(f"chunk must be in [1, page_size]; got {chunk}")
+        self.chunk = chunk
         self._key = jax.random.PRNGKey(seed)
 
     def submit(self, seq_id: int, prompt: list[int], max_new_tokens: int):
         self.engine.add_request(seq_id, len(prompt), max_new_tokens)
-        self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[])
+        self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[],
+                                      max_new=max_new_tokens)
 
     def _pick(self, logits, sid: int):
         """Next-token choice: greedy at temperature 0, sampled otherwise.
@@ -128,33 +137,125 @@ class GenerationServer:
                 decode_rows.append(row)
 
         if decode_rows:
-            rows = np.asarray(decode_rows)
-            tokens = np.array(
-                [self.seqs[batch.ids[r]].generated[-1] for r in decode_rows],
-                np.int32)
-            lengths = batch.lengths[rows]
-            tables = batch.page_tables[rows]
-            # Pad to the static max_batch: padding rows decode a length-1
-            # sequence whose single KV slot is the reserved scratch page.
-            pad = self.max_batch - len(rows)
-            if pad:
-                tokens = np.concatenate([tokens, np.zeros(pad, np.int32)])
-                lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
-                pad_tables = np.full((pad, tables.shape[1]), -1, np.int32)
-                pad_tables[:, 0] = self.scratch_page
-                tables = np.concatenate([tables, pad_tables], axis=0)
-            logits, self.cache = decode_step(
-                self.params, jnp.asarray(tokens), self.cfg, self.cache,
-                jnp.asarray(lengths), jnp.asarray(tables),
-                interpret=self.interpret,
-            )
-            for i, r in enumerate(decode_rows):
-                sid = int(batch.ids[r])
-                tok = int(self._pick(logits[i], sid))
-                self.seqs[sid].generated.append(tok)
-            self.decode_tokens += len(decode_rows)
+            n = self._chunk_len(batch, decode_rows)
+            if n > 1:
+                batch = self._advance_chunk(batch, n)
+                self._decode_chunk(batch, decode_rows, n)
+            else:
+                self._decode_one(batch, decode_rows)
 
         return self.engine.commit()
+
+    def _chunk_len(self, batch, decode_rows) -> int:
+        """Tokens to decode this step without the batch changing under us.
+
+        Chunking is only sound while the scheduler's batch is provably
+        stable: nothing waiting to be admitted, every row already past
+        prefill, nobody reaching its token budget mid-chunk, and enough
+        free pages that growth cannot trigger preemption.
+        """
+        if (self.chunk <= 1 or self.engine.waiting > 0
+                or len(decode_rows) != len(batch.ids)):
+            return 1
+        n = min([self.chunk] + [
+            self.seqs[int(batch.ids[r])].max_new
+            - len(self.seqs[int(batch.ids[r])].generated)
+            for r in decode_rows])
+        if n <= 1:
+            return 1
+        ps = self.page_size
+        # Pages the remaining n-1 scheduler steps will allocate: the first
+        # step() already covered batch.lengths, so count page-boundary
+        # crossings from there to lengths + n - 1.
+        crossings = sum(
+            -(-(int(batch.lengths[r]) + n - 1) // ps)
+            - -(-int(batch.lengths[r]) // ps)
+            for r in decode_rows)
+        return n if crossings <= self.engine.free_pages else 1
+
+    def _advance_chunk(self, batch, n: int):
+        """Run the scheduler forward n-1 tokens; returns the final batch.
+
+        The final batch's page tables cover every slot the chunk writes.
+        Mid-chunk commits cannot finish a sequence (``_chunk_len`` capped n
+        at the smallest remaining budget) and membership cannot change
+        (nothing waiting, no preemption possible), which the asserts pin.
+        """
+        ids0 = batch.ids.copy()
+        for _ in range(n - 1):
+            finished = self.engine.commit()
+            assert not finished, "sequence finished mid-chunk"
+            batch = self.engine.step()
+            assert np.array_equal(batch.ids, ids0), "batch changed mid-chunk"
+        self.steps += n - 1
+        return batch
+
+    def _decode_chunk(self, batch, decode_rows, n: int):
+        """One ``decode_loop`` call generating n tokens for every row."""
+        rows = np.asarray(decode_rows)
+        tokens = np.array(
+            [self.seqs[batch.ids[r]].generated[-1] for r in decode_rows],
+            np.int32)
+        # decode_loop takes the *committed* length; the scheduler has
+        # already allocated all n new slots, so batch.lengths is +n.
+        lengths = batch.lengths[rows] - n
+        tables = batch.page_tables[rows]
+        pad = self.max_batch - len(rows)
+        if pad:
+            tokens = np.concatenate([tokens, np.zeros(pad, np.int32)])
+            # Padding rows start at length 0 and grow through the chunk,
+            # staying inside the scratch page (chunk <= page_size).
+            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+            pad_tables = np.full((pad, tables.shape[1]), -1, np.int32)
+            pad_tables[:, 0] = self.scratch_page
+            tables = np.concatenate([tables, pad_tables], axis=0)
+        row_keys = pos0 = None
+        if self.temperature > 0.0:
+            sids = [int(batch.ids[r]) for r in decode_rows] + [0] * pad
+            row_keys = jnp.stack(
+                [jax.random.fold_in(self._key, s) for s in sids])
+            pos0 = jnp.asarray(
+                [len(self.seqs[s].generated) if i < len(decode_rows) else 0
+                 for i, s in enumerate(sids)], jnp.int32)
+        out, self.cache, _ = decode_loop(
+            self.params, jnp.asarray(tokens), self.cfg, self.cache,
+            jnp.asarray(lengths), jnp.asarray(tables), n,
+            row_keys=row_keys, pos0=pos0, temperature=self.temperature,
+            top_k=self.top_k, interpret=self.interpret,
+        )
+        out = np.asarray(out)
+        for i, r in enumerate(decode_rows):
+            self.seqs[int(batch.ids[r])].generated.extend(
+                int(t) for t in out[i])
+        self.decode_tokens += n * len(decode_rows)
+
+    def _decode_one(self, batch, decode_rows):
+        """Single-token decode with host-side sampling (the n == 1 path)."""
+        rows = np.asarray(decode_rows)
+        tokens = np.array(
+            [self.seqs[batch.ids[r]].generated[-1] for r in decode_rows],
+            np.int32)
+        lengths = batch.lengths[rows]
+        tables = batch.page_tables[rows]
+        # Pad to the static max_batch: padding rows decode a length-1
+        # sequence whose single KV slot is the reserved scratch page.
+        pad = self.max_batch - len(rows)
+        if pad:
+            tokens = np.concatenate([tokens, np.zeros(pad, np.int32)])
+            lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
+            pad_tables = np.full((pad, tables.shape[1]), -1, np.int32)
+            pad_tables[:, 0] = self.scratch_page
+            tables = np.concatenate([tables, pad_tables], axis=0)
+        logits, self.cache = decode_step(
+            self.params, jnp.asarray(tokens), self.cfg, self.cache,
+            jnp.asarray(lengths), jnp.asarray(tables),
+            interpret=self.interpret,
+        )
+        for i, r in enumerate(decode_rows):
+            sid = int(batch.ids[r])
+            tok = int(self._pick(logits[i], sid))
+            self.seqs[sid].generated.append(tok)
+        self.decode_tokens += len(decode_rows)
 
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
         """Drive until every submitted request finishes; returns generations."""

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dispatch import sync
-from ..models.decode import decode_step, init_cache
+from ..models.decode import decode_loop, decode_step, init_cache
 from ..models.llama import LLAMA3_8B, LlamaConfig, init_quantized_params, init_params
 from ..utils.chip import device_kind, hbm_gbps
 
@@ -98,19 +98,13 @@ def main(argv=None):
         return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
     if args.scan:
-        def scan_fn(carry, _):
-            toks, cache, lengths = carry
-            lengths = lengths + 1
-            logits, cache = decode_step(params, toks, cfg, cache,
-                                        lengths, tables_j, interpret=False)
-            return (jnp.argmax(logits, -1).astype(jnp.int32), cache,
-                    lengths), None
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        # The library chunked-decode path (models.decode.decode_loop) — the
+        # same code the serving loop's chunk mode dispatches.
         def run_n(toks, cache, lengths):
-            carry, _ = jax.lax.scan(scan_fn, (toks, cache, lengths), None,
-                                    length=args.steps)
-            return carry
+            out, cache, lengths = decode_loop(
+                params, toks, cfg, cache, lengths, tables_j, args.steps,
+                interpret=False)
+            return out[:, -1], cache, lengths
 
         carry = (tokens, cache, jnp.asarray(lengths0))
         carry = run_n(*carry)  # compile + warm

@@ -90,3 +90,77 @@ def test_oversubscribed_pool_preempts_and_finishes(params):
         server.submit(sid, list(range(8, 72)), 3)  # 64-token prompts
     got = server.run()
     assert all(len(v) == 3 for v in got.values()), got
+
+
+def test_chunked_matches_stepwise_greedy(params):
+    """chunk=4 must replay the exact step-by-step greedy trajectory."""
+    prompts = {1: list(range(10, 30)), 2: list(range(40, 45))}
+    runs = {}
+    for chunk in (1, 4):
+        server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                                  max_batch=2, pages_per_seq=8, chunk=chunk)
+        for sid, p in prompts.items():
+            server.submit(sid, p, 6)
+        runs[chunk] = server.run()
+    assert runs[1] == runs[4], runs
+
+
+def test_chunked_matches_stepwise_sampled(params):
+    """(seq_id, position) sampling keys make chunked == stepwise exactly."""
+    runs = {}
+    for chunk in (1, 5):
+        server = GenerationServer(params, CFG, num_pages=16, page_size=64,
+                                  max_batch=2, pages_per_seq=8,
+                                  temperature=0.8, top_k=20, seed=7,
+                                  chunk=chunk)
+        server.submit(1, list(range(10, 26)), 5)
+        runs[chunk] = server.run()
+    assert runs[1] == runs[5], runs
+
+
+def test_chunked_uneven_budgets(params):
+    """Chunk must clamp to the smallest remaining budget, then finish all."""
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=3, pages_per_seq=8, chunk=8)
+    server.submit(1, list(range(10, 30)), 3)
+    server.submit(2, list(range(40, 45)), 9)
+    server.submit(3, list(range(7, 20)), 1)
+    got = server.run()
+    assert [len(got[s]) for s in (1, 2, 3)] == [3, 9, 1], got
+
+
+def test_decode_loop_matches_decode_step(params):
+    """decode_loop == n sequential decode_step calls (greedy, dense)."""
+    import jax
+    from flash_attention_from_scratch_tpu.models.decode import (
+        decode_loop, decode_step, init_cache, prefill,
+    )
+
+    prompt = np.arange(16, 48, dtype=np.int32)
+    table = jnp.asarray(np.arange(4, dtype=np.int32))
+    padded = np.zeros(128, np.int32)
+    padded[:len(prompt)] = prompt
+    cache_a = init_cache(CFG, 8, 64)
+    logits, cache_a = prefill(params, jnp.asarray(padded)[None], CFG,
+                              cache_a, table, prompt_len=len(prompt))
+    cache_b = jax.tree.map(jnp.copy, cache_a)
+
+    tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[None]
+    tables = table[None]
+    n = 4
+
+    # Sequential decode_step path.
+    toks, lengths = tok0, jnp.asarray([len(prompt)], jnp.int32)
+    seq_tokens = []
+    for _ in range(n):
+        lengths = lengths + 1
+        lg, cache_a = decode_step(params, toks, CFG, cache_a, lengths, tables)
+        toks = jnp.argmax(lg, -1).astype(jnp.int32)
+        seq_tokens.append(int(toks[0]))
+
+    out, cache_b, lens_out = decode_loop(
+        params, tok0, CFG, cache_b, jnp.asarray([len(prompt)], jnp.int32),
+        tables, n)
+    assert out.shape == (1, n)
+    assert [int(t) for t in out[0]] == seq_tokens
+    assert int(lens_out[0]) == len(prompt) + n
