@@ -38,7 +38,8 @@ from ..ops.configs import DType, get_kernel_configs
 from ..ops.flash_forward import make_flash_forward
 from ..utils.testing import generate_qkv
 
-__all__ = ["lower_kernel", "op_histogram", "diff_histograms", "main"]
+__all__ = ["lower_kernel", "op_histogram", "diff_histograms", "slice_ir",
+           "main"]
 
 _MOSAIC_RE = re.compile(r'custom_call_config\s*=?\s*.*?"', re.S)
 
@@ -118,6 +119,92 @@ def diff_histograms(before: collections.Counter, after: collections.Counter) -> 
     return "\n".join(lines)
 
 
+_SSA_DEF_RE = re.compile(r"^\s*(%[A-Za-z0-9_$.-]+(?:,\s*%[A-Za-z0-9_$.-]+)*)(?::\d+)?\s*=")
+_SSA_USE_RE = re.compile(r"%[A-Za-z0-9_$.-]+")
+
+
+def _ssa_base(tok: str) -> str:
+    """Normalize a use token: ``%5#1`` (multi-result projection) -> ``%5``."""
+    return tok.split("#", 1)[0]
+
+
+def slice_ir(ir_text: str, value: str, *, forward: bool = False,
+             max_depth: int | None = None) -> str:
+    """Def-use slice of a dumped MLIR module around one SSA value.
+
+    The analogue of the reference's PTX->SASS dependency slicer
+    (``tools/analysis/ptx_sass_filter.py:13-117``), which answers "why is
+    this instruction here" by backward-slicing a register's def chain.
+    Mosaic IR is SSA text, so the same question is a def-use walk:
+
+    - backward (default): the transitive producers of ``value`` — every op
+      whose result feeds it, back to block/function arguments;
+    - forward: the transitive consumers — every op whose operands depend
+      on it.
+
+    Returns the sliced ops in module line order, each prefixed with its
+    line number and distance (in def-use hops) from the seed. Values that
+    bottom out in block arguments (loop-carried iter_args, kernel
+    parameters) are listed at the end, since those have no defining op in
+    the text.
+    """
+    lines = ir_text.splitlines()
+    defs: dict[str, int] = {}
+    uses: dict[str, set[int]] = {}
+    line_ops: dict[int, tuple[set[str], set[str]]] = {}  # i -> (results, operands)
+    for i, ln in enumerate(lines):
+        if not ln.strip() or ln.lstrip().startswith("//"):
+            continue
+        m = _SSA_DEF_RE.match(ln)
+        results = set()
+        rhs = ln
+        if m:
+            results = {r.strip() for r in m.group(1).split(",")}
+            rhs = ln.split("=", 1)[1]
+        operands = {_ssa_base(t) for t in _SSA_USE_RE.findall(rhs)} - results
+        for r in results:
+            defs[r] = i
+        for o in operands:
+            uses.setdefault(o, set()).add(i)
+        line_ops[i] = (results, operands)
+
+    seed = _ssa_base(value if value.startswith("%") else "%" + value)
+    if seed not in defs and seed not in uses:
+        return f"// {seed}: not found in module"
+
+    depth_of: dict[int, int] = {}  # line -> hop distance
+    frontier = {seed}
+    loose_ends: set[str] = set()
+    depth = 0
+    while frontier and (max_depth is None or depth <= max_depth):
+        nxt: set[str] = set()
+        for val in frontier:
+            if forward:
+                for i in uses.get(val, ()):
+                    if i not in depth_of:
+                        depth_of[i] = depth
+                        nxt.update(line_ops[i][0])
+            else:
+                if val in defs:
+                    i = defs[val]
+                    if i not in depth_of:
+                        depth_of[i] = depth
+                        nxt.update(line_ops[i][1])
+                else:
+                    loose_ends.add(val)
+        frontier = nxt
+        depth += 1
+
+    out = [f"// {'forward' if forward else 'backward'} slice of {seed}: "
+           f"{len(depth_of)} ops"]
+    for i in sorted(depth_of):
+        out.append(f"{i + 1:>6} [d{depth_of[i]}] {lines[i].strip()}")
+    if loose_ends and not forward:
+        out.append("// bottomed out at block/function arguments: "
+                   + ", ".join(sorted(loose_ends)))
+    return "\n".join(out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kernels", default="prog")
@@ -126,12 +213,24 @@ def main(argv=None):
     ap.add_argument("--out", default="kernel_ir")
     ap.add_argument("--diff", nargs=2, metavar=("BEFORE", "AFTER"),
                     help="diff op histograms of two dump files")
+    ap.add_argument("--slice", nargs=2, metavar=("FILE", "VALUE"),
+                    help="def-use slice of an SSA value in a dump file "
+                         "(ptx_sass_filter analogue)")
+    ap.add_argument("--forward", action="store_true",
+                    help="slice consumers instead of producers")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="max def-use hops for --slice")
     args = ap.parse_args(argv)
 
     if args.diff:
         before = op_histogram(open(args.diff[0]).read())
         after = op_histogram(open(args.diff[1]).read())
         print(diff_histograms(before, after))
+        return 0
+
+    if args.slice:
+        print(slice_ir(open(args.slice[0]).read(), args.slice[1],
+                       forward=args.forward, max_depth=args.depth))
         return 0
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
