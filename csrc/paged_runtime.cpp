@@ -190,6 +190,26 @@ int32_t fa_engine_commit_tokens(void* h, int64_t* finished_out, int32_t cap) {
   return n_fin;
 }
 
+// Finish a sequence before its max_new_tokens budget — the stop-token /
+// client-cancel path. Frees its pages immediately (they may be reallocated
+// by the next step(), so the caller must not issue further KV reads or
+// writes for this sequence). Returns 0, or -1 if the id is unknown.
+// Waiting (not yet admitted) sequences are cancelled the same way.
+int32_t fa_engine_finish(void* h, int64_t id) {
+  auto* e = static_cast<Engine*>(h);
+  auto it = e->seqs.find(id);
+  if (it == e->seqs.end()) return -1;
+  e->release(it->second);
+  e->seqs.erase(it);
+  for (auto r = e->running.begin(); r != e->running.end(); ++r) {
+    if (*r == id) { e->running.erase(r); break; }
+  }
+  for (auto w = e->waiting.begin(); w != e->waiting.end(); ++w) {
+    if (*w == id) { e->waiting.erase(w); break; }
+  }
+  return 0;
+}
+
 // Batch introspection: ids, lengths, and page tables of the running batch.
 int32_t fa_engine_batch_size(void* h) {
   return (int32_t)static_cast<Engine*>(h)->running.size();

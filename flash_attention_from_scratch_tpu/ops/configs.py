@@ -141,6 +141,12 @@ class KernelConfig:
     # 163 -> 179 TFLOP/s; at seq 16384 it reaches the chip's measured matmul
     # ceiling (187 TFLOP/s).
     kv_splits: int = 1
+    # Split-partials along Q rows: independent row sub-tiles inside one
+    # program, each with its own scratch rows — same VPU/MXU overlap as
+    # kv_splits but with zero merge cost (row stats never cross sub-tiles).
+    # The small-sequence lever: at seq <= 1024 the whole KV fits one block
+    # and kv_splits has nothing lane-aligned to cut. GRID kernel only.
+    q_splits: int = 1
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -179,6 +185,18 @@ class KernelConfig:
                 f"kv_splits {self.kv_splits} must divide block_kv {self.block_kv} "
                 "into lane-aligned (multiple-of-128) sub-tiles"
             )
+        if self.q_splits < 1:
+            raise ValueError("q_splits must be >= 1")
+        if self.q_splits > 1:
+            sub = self.block_q // self.q_splits
+            if self.block_q % self.q_splits or sub % self.dtype.min_tile[0]:
+                raise ValueError(
+                    f"q_splits {self.q_splits} must divide block_q "
+                    f"{self.block_q} into sublane-aligned (multiple-of-"
+                    f"{self.dtype.min_tile[0]}) sub-tiles"
+                )
+            if self.kv_loop == KVLoop.FORI:
+                raise ValueError("q_splits is implemented for the GRID kernel only")
 
     # Largest S/P fp32 tile the kernel should allocate: measured on v5e,
     # block (512, 16384) — a 32 MB tile — still wins (whole-sequence KV
@@ -279,6 +297,8 @@ class KernelConfig:
             flags.append("sq")
         if self.kv_splits > 1:
             flags.append(f"sp{self.kv_splits}")
+        if self.q_splits > 1:
+            flags.append(f"qs{self.q_splits}")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -310,12 +330,15 @@ def parse_short_form(s: str) -> KernelConfig:
     if not m:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
-    kv_splits = 1
+    kv_splits = q_splits = 1
     for f in flags:
         if f.startswith("sp") and f[2:].isdigit():
             kv_splits = int(f[2:])
+        if f.startswith("qs") and f[2:].isdigit():
+            q_splits = int(f[2:])
     return KernelConfig(
         kv_splits=kv_splits,
+        q_splits=q_splits,
         block_q=int(m.group("bq")),
         block_kv=int(m.group("bkv")),
         d_head=int(m.group("d")),

@@ -245,57 +245,74 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
         visible = kv_start <= q_span + cfg.block_q - 1
 
     def compute():
-        q = q_ref[0, 0]
+        q_full = q_ref[0, 0]
         if cfg.scale_q:
             # Fold the softmax scale into Q (d_head cols) instead of the S
             # tile (block_kv cols): ~d/block_kv of the VPU pass cost.
             c = (scale * LOG2E) if cfg.use_exp2 else scale
-            q = (q.astype(jnp.float32) * c).astype(q.dtype)
+            q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
         k = k_ref[0, 0]
         v = v_ref[0, 0]
 
-        if cfg.kv_splits > 1:
-            def attend(m, l, acc):
-                return _attend_block_split(
-                    cfg, scale, q, k, v, q_span, kv_start, m, l, acc
+        # q_splits: independent row sub-tiles within the Q block. Each runs
+        # its own QK^T -> softmax -> PV chain against its own scratch rows,
+        # so Mosaic overlaps sub-tile i's VPU exp pass with sub-tile i+1's
+        # MXU matmul — like kv_splits, but along rows there is no merge
+        # cost at all (row statistics never cross sub-tiles). This is the
+        # small-sequence lever: at seq 512 the whole block is one KV shot
+        # and kv_splits has nothing big enough to cut.
+        sub = cfg.block_q // cfg.q_splits
+        for i in range(cfg.q_splits):
+            rows = slice(i * sub, (i + 1) * sub)
+            q = q_full[rows]
+            sub_span = q_span + i * sub
+
+            if cfg.kv_splits > 1:
+                def attend(m, l, acc, q=q, sub_span=sub_span):
+                    return _attend_block_split(
+                        cfg, scale, q, k, v, sub_span, kv_start, m, l, acc
+                    )
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(cfg),
                 )
-        else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(cfg),
-            )
 
-            def attend(m, l, acc):
-                return _attend_block(
-                    cfg, scale, s, v, q_span, kv_start, m, l, acc
-                )
+                def attend(m, l, acc, s=s, sub_span=sub_span):
+                    return _attend_block(
+                        cfg, scale, s, v, sub_span, kv_start, m, l, acc
+                    )
 
-        if cfg.optimized_softmax:
-            @pl.when(is_first)
-            def _():
-                m, l, acc = attend(None, None, None)
-                m_ref[...] = m
-                l_ref[...] = l
-                acc_ref[...] = acc
+            if cfg.optimized_softmax:
+                @pl.when(is_first)
+                def _(attend=attend, rows=rows):
+                    m, l, acc = attend(None, None, None)
+                    m_ref[rows, :] = m
+                    l_ref[rows, :] = l
+                    acc_ref[rows, :] = acc
 
-            @pl.when(jnp.logical_not(is_first))
-            def _():
-                m, l, acc = attend(m_ref[...], l_ref[...], acc_ref[...])
-                m_ref[...] = m
-                l_ref[...] = l
-                acc_ref[...] = acc
-        else:
-            @pl.when(is_first)
-            def _():
-                m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-                l_ref[...] = jnp.zeros_like(l_ref)
-                acc_ref[...] = jnp.zeros_like(acc_ref)
+                @pl.when(jnp.logical_not(is_first))
+                def _(attend=attend, rows=rows):
+                    m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                       acc_ref[rows, :])
+                    m_ref[rows, :] = m
+                    l_ref[rows, :] = l
+                    acc_ref[rows, :] = acc
+            else:
+                @pl.when(is_first)
+                def _(rows=rows):
+                    m_ref[rows, :] = jnp.full((sub, _STATS_LANES), MASK_VALUE,
+                                              jnp.float32)
+                    l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES), jnp.float32)
+                    acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
+                                                 jnp.float32)
 
-            m, l, acc = attend(m_ref[...], l_ref[...], acc_ref[...])
-            m_ref[...] = m
-            l_ref[...] = l
-            acc_ref[...] = acc
+                m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                   acc_ref[rows, :])
+                m_ref[rows, :] = m
+                l_ref[rows, :] = l
+                acc_ref[rows, :] = acc
 
     if cfg.causal:
         # First processed block (kv_block 0, since causal forbids reverse_kv)

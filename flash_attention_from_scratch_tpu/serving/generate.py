@@ -49,6 +49,7 @@ class _SeqState:
     generated: list[int]
     max_new: int = 0
     prefilled: bool = False
+    stop: frozenset = frozenset()
 
 
 class GenerationServer:
@@ -85,11 +86,16 @@ class GenerationServer:
             raise ValueError(f"chunk must be in [1, page_size]; got {chunk}")
         self.chunk = chunk
         self._key = jax.random.PRNGKey(seed)
+        self._stopped: list[int] = []
 
-    def submit(self, seq_id: int, prompt: list[int], max_new_tokens: int):
+    def submit(self, seq_id: int, prompt: list[int], max_new_tokens: int,
+               stop=()):
+        """``stop``: token ids that end the sequence early. The stop token
+        itself is kept in the generation (the standard EOS convention)."""
         self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[],
-                                      max_new=max_new_tokens)
+                                      max_new=max_new_tokens,
+                                      stop=frozenset(stop))
 
     def _pick(self, logits, sid: int):
         """Next-token choice: greedy at temperature 0, sampled otherwise.
@@ -114,6 +120,7 @@ class GenerationServer:
         if len(batch.ids) == 0:
             return []
         self.steps += 1
+        self._stopped = []
 
         # Prefill newly admitted sequences — and preempted ones the scheduler
         # readmitted (recompute preemption resets them to length == prompt;
@@ -131,7 +138,7 @@ class GenerationServer:
                     self.cache, jnp.asarray(batch.page_tables[row]),
                     prompt_len=len(st.prompt), interpret=self.interpret,
                 )
-                st.generated.append(int(self._pick(logits, sid)))
+                self._append(sid, int(self._pick(logits, sid)))
                 st.prefilled = True
             else:
                 decode_rows.append(row)
@@ -144,7 +151,22 @@ class GenerationServer:
             else:
                 self._decode_one(batch, decode_rows)
 
-        return self.engine.commit()
+        return self._stopped + self.engine.commit()
+
+    def _append(self, sid: int, tok: int) -> bool:
+        """Record one generated token; finish the sequence on a stop token.
+
+        Returns True when the sequence just stopped — its engine pages are
+        freed immediately, so callers must not write further tokens or KV
+        for it this step.
+        """
+        st = self.seqs[sid]
+        st.generated.append(tok)
+        if tok in st.stop:
+            self.engine.finish(sid)
+            self._stopped.append(sid)
+            return True
+        return False
 
     def _chunk_len(self, batch, decode_rows) -> int:
         """Tokens to decode this step without the batch changing under us.
@@ -225,9 +247,11 @@ class GenerationServer:
         )
         out = np.asarray(out)
         for i, r in enumerate(decode_rows):
-            self.seqs[int(batch.ids[r])].generated.extend(
-                int(t) for t in out[i])
-        self.decode_tokens += n * len(decode_rows)
+            sid = int(batch.ids[r])
+            for t in out[i]:
+                self.decode_tokens += 1
+                if self._append(sid, int(t)):
+                    break  # tokens past the stop are discarded
 
     def _decode_one(self, batch, decode_rows):
         """Single-token decode with host-side sampling (the n == 1 path)."""
@@ -253,8 +277,7 @@ class GenerationServer:
         )
         for i, r in enumerate(decode_rows):
             sid = int(batch.ids[r])
-            tok = int(self._pick(logits[i], sid))
-            self.seqs[sid].generated.append(tok)
+            self._append(sid, int(self._pick(logits[i], sid)))
         self.decode_tokens += len(decode_rows)
 
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:

@@ -71,6 +71,8 @@ def _load():
             fn.argtypes = [ctypes.c_void_p]
         _lib.fa_engine_preempt_count.restype = ctypes.c_int64
         _lib.fa_engine_preempt_count.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_finish.restype = ctypes.c_int32
+        _lib.fa_engine_finish.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     return _lib
 
 
@@ -128,6 +130,12 @@ class PagedEngine:
                 pages.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 self.max_pages_per_seq)
         return Batch(ids, lens, pages)
+
+    def finish(self, seq_id: int):
+        """Finish a sequence early (stop token / client cancel), freeing its
+        pages immediately. The caller must not touch its KV afterwards."""
+        if self._lib.fa_engine_finish(self._h, seq_id) != 0:
+            raise KeyError(f"unknown sequence {seq_id}")
 
     def commit(self) -> list[int]:
         """Record one generated token per running sequence; returns finished ids."""

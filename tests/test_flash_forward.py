@@ -219,3 +219,51 @@ def test_for_shape_picks_splits():
     assert cfg.kv_splits == cfg.block_kv // 2048
     cfg = KernelConfig.for_shape(1024, 1024)
     assert cfg.kv_splits == 1
+
+
+# -- q-row split partials (q_splits) -----------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_q_splits(causal):
+    """Independent Q-row sub-tiles: same numerics as the whole-block path."""
+    cfg = KernelConfig(block_q=256, block_kv=256, q_splits=2, causal=causal)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"q_splits causal={causal}: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_q_splits_with_kv_splits():
+    """Both split axes together (each sub-problem runs the split-kv path)."""
+    cfg = KernelConfig(block_q=256, block_kv=512, q_splits=2, kv_splits=2)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"q+kv splits: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_q_splits_multiblock_kv_causal():
+    """Sub-tiles that are fully masked for a later KV block contribute 0."""
+    cfg = KernelConfig(block_q=256, block_kv=128, q_splits=2, causal=True)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"{kerr:.3e} vs {berr:.3e}"
+    assert not jnp.any(jnp.isnan(out.astype(jnp.float32)))
+
+
+def test_q_splits_validation():
+    with pytest.raises(ValueError):  # does not divide
+        KernelConfig(block_q=256, q_splits=3)
+    with pytest.raises(ValueError):  # sub-tile below the bf16 sublane tile
+        KernelConfig(block_q=32, q_splits=4)
+    with pytest.raises(ValueError):  # FORI unsupported
+        KernelConfig(block_q=256, q_splits=2, kv_loop=KVLoop.FORI)
+    cfg = KernelConfig(block_q=256, q_splits=2)
+    assert "qs2" in cfg.short_form()
+    from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
+    assert parse_short_form(cfg.short_form()) == cfg

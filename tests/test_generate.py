@@ -164,3 +164,49 @@ def test_decode_loop_matches_decode_step(params):
     assert out.shape == (1, n)
     assert [int(t) for t in out[0]] == seq_tokens
     assert int(lens_out[0]) == len(prompt) + n
+
+
+def test_stop_tokens_end_sequences_early(params):
+    """A stop token finishes the sequence at once and frees its pages.
+
+    The model is random, so rather than predicting which token appears we
+    run once unrestricted, pick the token generated at position 1 as the
+    stop token, and re-run: the sequence must now end right there (stop
+    token kept), while a sequence with a different stop set runs to its
+    full budget.
+    """
+    prompt = list(range(10, 30))
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=2, pages_per_seq=8)
+    server.submit(1, prompt, 6)
+    server.submit(2, list(range(40, 45)), 6)
+    unrestricted = server.run()
+    stop_tok = unrestricted[1][1]
+
+    server2 = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                               max_batch=2, pages_per_seq=8)
+    server2.submit(1, prompt, 6, stop=[stop_tok])
+    server2.submit(2, list(range(40, 45)), 6,
+                   stop=[max(unrestricted[2]) + 1])  # never generated
+    got = server2.run()
+    assert got[1] == unrestricted[1][:2], (got[1], unrestricted[1])
+    assert len(got[2]) == 6
+    # All pages returned to the pool after the run.
+    assert server2.engine.free_pages == 31
+
+
+def test_stop_tokens_in_chunked_decode(params):
+    """Chunked decode truncates at the stop token and discards the rest."""
+    prompt = list(range(10, 30))
+    probe = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                             max_batch=1, pages_per_seq=8)
+    probe.submit(1, prompt, 8)
+    full = probe.run()[1]
+    stop_tok = full[3]  # stops mid-chunk when chunk=8
+
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=1, pages_per_seq=8, chunk=8)
+    server.submit(1, prompt, 8, stop=[stop_tok])
+    got = server.run()[1]
+    assert got == full[:4], (got, full)
+    assert server.engine.free_pages == 31
