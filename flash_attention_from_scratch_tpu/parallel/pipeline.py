@@ -20,6 +20,8 @@ Embedding, final norm, and the LM head run replicated outside the pipeline
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
@@ -99,12 +101,28 @@ def pipeline_forward(params: dict, tokens, cfg: LlamaConfig, mesh: Mesh,
     cos, sin = rope_tables(seq, cfg.d_head, cfg.rope_theta)
     stream = x.reshape(n_micro, mb, seq, cfg.dim)
 
+    staged = _staged_fn(cfg, mesh, n_micro, n_stages, interpret)
+    out = staged(params["stages"], stream, cos, sin).reshape(batch, seq, cfg.dim)
+    out = rms_norm(out, params["final_norm"], cfg.norm_eps)
+    return (out @ params["lm_head"]).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _staged_fn(cfg: LlamaConfig, mesh: Mesh, n_micro: int, n_stages: int,
+               interpret):
+    """Cached jitted pipeline body.
+
+    Built once per (cfg, mesh, n_micro, n_stages, interpret): a fresh
+    ``@jax.jit`` closure per ``pipeline_forward`` call would miss jax's
+    jit cache (keyed on function identity) and retrace + recompile the
+    whole n_steps-deep scan on every training step.
+    """
     perm = [(i, i + 1) for i in range(n_stages - 1)]  # no wraparound
     n_steps = n_micro + n_stages - 1
 
     @jax.jit
-    def staged(stages, stream):
-        def local(stages, stream):
+    def staged(stages, stream, cos, sin):
+        def local(stages, stream, cos, sin):
             # shard_map keeps the sharded stage axis as a size-1 leading
             # dim on every leaf; drop it so leaves are (local_depth, ...).
             stages = jax.tree_util.tree_map(lambda w: w[0], stages)
@@ -136,14 +154,12 @@ def pipeline_forward(params: dict, tokens, cfg: LlamaConfig, mesh: Mesh,
 
         return shard_map(
             local, mesh=mesh,
-            in_specs=(P(PIPELINE_AXIS), P()),
+            in_specs=(P(PIPELINE_AXIS), P(), P(), P()),
             out_specs=P(),
             check_rep=False,
-        )(stages, stream)
+        )(stages, stream, cos, sin)
 
-    out = staged(params["stages"], stream).reshape(batch, seq, cfg.dim)
-    out = rms_norm(out, params["final_norm"], cfg.norm_eps)
-    return (out @ params["lm_head"]).astype(jnp.float32)
+    return staged
 
 
 def pipeline_loss_fn(params, tokens, cfg: LlamaConfig, mesh: Mesh,

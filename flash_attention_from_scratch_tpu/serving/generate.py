@@ -185,13 +185,20 @@ class GenerationServer:
             for r in decode_rows])
         if n <= 1:
             return 1
+        # Bound jit specializations of decode_loop (static steps): round the
+        # chunk down to a power of two so tail chunks near budget ends reuse
+        # {2, 4, 8, ...} executables instead of compiling every n.
+        n = 1 << (n.bit_length() - 1)
+        if n <= 1:
+            return 1
         ps = self.page_size
-        # Pages the remaining n-1 scheduler steps will allocate: the first
-        # step() already covered batch.lengths, so count page-boundary
-        # crossings from there to lengths + n - 1.
+        # Pages the remaining n-1 scheduler steps will allocate: step() has
+        # already pre-allocated through batch.lengths + 1 (one token of
+        # lookahead), so the advance steps extend coverage from lengths + 1
+        # to lengths + n.
         crossings = sum(
-            -(-(int(batch.lengths[r]) + n - 1) // ps)
-            - -(-int(batch.lengths[r]) // ps)
+            -(-(int(batch.lengths[r]) + n) // ps)
+            - -(-(int(batch.lengths[r]) + 1) // ps)
             for r in decode_rows)
         return n if crossings <= self.engine.free_pages else 1
 
@@ -212,25 +219,37 @@ class GenerationServer:
         self.steps += n - 1
         return batch
 
-    def _decode_chunk(self, batch, decode_rows, n: int):
-        """One ``decode_loop`` call generating n tokens for every row."""
+    def _gather_batch(self, batch, decode_rows, pad_length: int,
+                      length_offset: int = 0):
+        """Row-gather the decode batch and pad it to the static max_batch.
+
+        Padding rows decode against the reserved scratch page starting at
+        ``pad_length`` (1 = the single-token path's length-1 dummy; 0 = the
+        chunked path, whose pads grow through the chunk but stay inside the
+        scratch page because chunk <= page_size).
+        """
         rows = np.asarray(decode_rows)
         tokens = np.array(
             [self.seqs[batch.ids[r]].generated[-1] for r in decode_rows],
             np.int32)
-        # decode_loop takes the *committed* length; the scheduler has
-        # already allocated all n new slots, so batch.lengths is +n.
-        lengths = batch.lengths[rows] - n
+        lengths = batch.lengths[rows] + length_offset
         tables = batch.page_tables[rows]
         pad = self.max_batch - len(rows)
         if pad:
             tokens = np.concatenate([tokens, np.zeros(pad, np.int32)])
-            # Padding rows start at length 0 and grow through the chunk,
-            # staying inside the scratch page (chunk <= page_size).
-            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+            lengths = np.concatenate(
+                [lengths, np.full(pad, pad_length, np.int32)])
             pad_tables = np.full((pad, tables.shape[1]), -1, np.int32)
             pad_tables[:, 0] = self.scratch_page
             tables = np.concatenate([tables, pad_tables], axis=0)
+        return tokens, lengths, tables, pad
+
+    def _decode_chunk(self, batch, decode_rows, n: int):
+        """One ``decode_loop`` call generating n tokens for every row."""
+        # decode_loop takes the *committed* length; the scheduler has
+        # already allocated all n new slots, so batch.lengths is +n.
+        tokens, lengths, tables, pad = self._gather_batch(
+            batch, decode_rows, pad_length=0, length_offset=-n)
         row_keys = pos0 = None
         if self.temperature > 0.0:
             sids = [int(batch.ids[r]) for r in decode_rows] + [0] * pad
@@ -255,21 +274,8 @@ class GenerationServer:
 
     def _decode_one(self, batch, decode_rows):
         """Single-token decode with host-side sampling (the n == 1 path)."""
-        rows = np.asarray(decode_rows)
-        tokens = np.array(
-            [self.seqs[batch.ids[r]].generated[-1] for r in decode_rows],
-            np.int32)
-        lengths = batch.lengths[rows]
-        tables = batch.page_tables[rows]
-        # Pad to the static max_batch: padding rows decode a length-1
-        # sequence whose single KV slot is the reserved scratch page.
-        pad = self.max_batch - len(rows)
-        if pad:
-            tokens = np.concatenate([tokens, np.zeros(pad, np.int32)])
-            lengths = np.concatenate([lengths, np.ones(pad, np.int32)])
-            pad_tables = np.full((pad, tables.shape[1]), -1, np.int32)
-            pad_tables[:, 0] = self.scratch_page
-            tables = np.concatenate([tables, pad_tables], axis=0)
+        tokens, lengths, tables, _ = self._gather_batch(
+            batch, decode_rows, pad_length=1)
         logits, self.cache = decode_step(
             self.params, jnp.asarray(tokens), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables),

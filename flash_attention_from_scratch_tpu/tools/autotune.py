@@ -50,10 +50,14 @@ def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
     for cfg in configs:
         dtype_groups.setdefault(cfg.dtype, []).append(cfg)
 
-    ceiling = measured_matmul_tflops() * 1.05
     flops = None
     rows = []
     for dtype, cfgs in dtype_groups.items():
+        # Physics bound per dtype: the measured ceiling is a bf16 matmul;
+        # the int8/fp8 MXU sustains ~2x that, so scale the artifact guard
+        # rather than falsely rejecting honestly-faster low-bit kernels.
+        rate = 2.0 if dtype in (DType.INT8, DType.FP8_E4M3) else 1.0
+        ceiling = measured_matmul_tflops() * rate * 1.05
         q, k, v = generate_qkv(seq, d_head=cfgs[0].d_head, n_heads=heads,
                                batch=batch, dtype=dtype.jnp_dtype)
         for cfg in cfgs:

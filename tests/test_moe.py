@@ -56,8 +56,9 @@ def test_route_drops_over_capacity():
         dataclasses_replace_topk(CFG, 1), gates, 8)
     kept = np.asarray(dispatch[:, 0].sum())
     assert kept == 8
-    # Dropped tokens have zero combine weight everywhere.
-    assert np.asarray(combine.sum(axis=(1, 2)))[9:].max() == 0.0
+    # Dropped tokens (the first over-capacity token included) have zero
+    # combine weight everywhere.
+    assert np.asarray(combine.sum(axis=(1, 2)))[8:].max() == 0.0
 
 
 def dataclasses_replace_topk(cfg, k):
