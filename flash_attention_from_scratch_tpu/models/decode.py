@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
-from .llama import LlamaConfig, _mlp, _mm, apply_rope, rms_norm, rope_tables
+from .llama import (
+    LlamaConfig, _mlp, _mm, _qkv, apply_rope, rms_norm, rope_tables,
+)
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step",
            "decode_loop", "greedy_token", "sample_token"]
@@ -216,9 +218,10 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         b = h.shape[0]
-        q = _mm(h, layer["wq"]).reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        k = _mm(h, layer["wk"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
-        v = _mm(h, layer["wv"]).reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        q, k, v = _qkv(layer, h, cfg)
+        q = q.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
@@ -314,9 +317,10 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = _mm(h, layer["wq"]).reshape(batch, 1, cfg.n_heads, cfg.d_head)
-        k = _mm(h, layer["wk"]).reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
-        v = _mm(h, layer["wv"]).reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
+        q, k, v = _qkv(layer, h, cfg)
+        q = q.reshape(batch, 1, cfg.n_heads, cfg.d_head)
+        k = k.reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
+        v = v.reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
         q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)[:, :, 0]  # (b, H, d)
         k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)[:, :, 0]  # (b, h_kv, d)
         v = v[:, 0]  # (b, h_kv, d)

@@ -58,22 +58,23 @@ def llama_param_specs(params) -> dict:
     projection-out and MLP-out row-sharded, norms replicated, embedding and
     LM head vocab/dim-sharded.
     """
-    layer_spec = {
-        "attn_norm": P(),
-        "wq": P(None, MODEL_AXIS),
-        "wk": P(None, MODEL_AXIS),
-        "wv": P(None, MODEL_AXIS),
-        "wo": P(MODEL_AXIS, None),
-        "mlp_norm": P(),
-        "w_gate": P(None, MODEL_AXIS),
-        "w_up": P(None, MODEL_AXIS),
-        "w_down": P(MODEL_AXIS, None),
+    col, row = P(None, MODEL_AXIS), P(MODEL_AXIS, None)
+    key_spec = {
+        "attn_norm": P(), "mlp_norm": P(),
+        "wq": col, "wk": col, "wv": col, "wo": row,
+        "w_gate": col, "w_up": col, "w_down": row,
+        # Fused projections (models.llama.fuse_projections). Column
+        # sharding of the concatenated N is semantically fine under GSPMD
+        # (slice boundaries need not align with shards); shard_map-manual
+        # paths must use unfused params.
+        "wqkv": col, "w_gate_up": col,
     }
     return {
         "embed": P(None, MODEL_AXIS),
         "final_norm": P(),
         "lm_head": P(None, MODEL_AXIS),
-        "layers": [dict(layer_spec) for _ in params["layers"]],
+        "layers": [{k: key_spec[k] for k in layer}
+                   for layer in params["layers"]],
     }
 
 

@@ -26,7 +26,10 @@ import numpy as np
 
 from ..dispatch import sync
 from ..models.decode import decode_loop, decode_step, init_cache
-from ..models.llama import LLAMA3_8B, LlamaConfig, init_quantized_params, init_params
+from ..models.llama import (
+    LLAMA3_8B, LlamaConfig, fuse_projections, init_quantized_params,
+    init_params,
+)
 from ..utils.chip import device_kind, hbm_gbps
 
 __all__ = ["main"]
@@ -61,6 +64,9 @@ def main(argv=None):
                     help="run all steps inside one jit (lax.scan): measures "
                          "pure device throughput without per-step dispatch "
                          "(compile cost explodes beyond small models)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse QKV and gate|up projections into single "
+                         "weight streams (models.llama.fuse_projections)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="decode steps per jit call (python-unrolled): "
                          "amortizes the per-call host dispatch")
@@ -75,6 +81,8 @@ def main(argv=None):
         params = init_params(cfg, key)
     else:
         params = init_quantized_params(cfg, key, args.weights)
+    if args.fuse:
+        params = fuse_projections(params)
     pbytes = _param_bytes(params)
 
     pages_per_seq = -(-(args.context + 2 * args.steps + args.warmup + 1)

@@ -59,3 +59,73 @@ def test_loss_and_grad(params):
     g = grads["layers"][0]["wq"]
     assert jnp.isfinite(g).all()
     assert float(jnp.abs(g).max()) > 0.0  # gradient actually flows through attention
+
+
+def test_fused_projections_match_unfused(params, tokens):
+    """fuse_projections (QKV + gate|up concat) must not change the logits.
+
+    Dense concat is exact up to XLA tiling differences of the same matmul;
+    quantized concat is exact by construction (per-output-channel scales).
+    """
+    import numpy as np
+
+    from flash_attention_from_scratch_tpu.models.llama import (
+        fuse_projections, quantize_params,
+    )
+
+    fused = fuse_projections(params)
+    assert "wqkv" in fused["layers"][0] and "wq" not in fused["layers"][0]
+    ref = forward(params, tokens, CFG)
+    out = forward(fused, tokens, CFG)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+
+    qp = quantize_params(params, "int8")
+    ref_q = forward(qp, tokens, CFG)
+    out_q = forward(fuse_projections(qp), tokens, CFG)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref_q),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_decode_step_matches_unfused(params):
+    """The paged decode path through wqkv/w_gate_up == separate weights."""
+    import numpy as np
+
+    from flash_attention_from_scratch_tpu.models.decode import (
+        decode_step, init_cache, prefill,
+    )
+    from flash_attention_from_scratch_tpu.models.llama import fuse_projections
+
+    prompt = np.zeros((1, 128), np.int32)
+    prompt[0, :32] = np.arange(32) % CFG.vocab_size
+    table = jnp.asarray(np.arange(4, dtype=np.int32))
+
+    outs = {}
+    for name, p in (("unfused", params), ("fused", fuse_projections(params))):
+        cache = init_cache(CFG, 8, 64)
+        logits, cache = prefill(p, jnp.asarray(prompt), CFG, cache, table,
+                                prompt_len=32)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[None]
+        lg, _ = decode_step(p, tok, CFG, cache,
+                            jnp.asarray([33], jnp.int32), table[None])
+        outs[name] = (np.asarray(logits), np.asarray(lg))
+    np.testing.assert_allclose(outs["fused"][0], outs["unfused"][0],
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(outs["fused"][1], outs["unfused"][1],
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_params_shard(params, cpu_mesh_devices):
+    """Fused weights take column-parallel specs and place on a (dp,tp) mesh."""
+    from flash_attention_from_scratch_tpu.models.llama import fuse_projections
+    from flash_attention_from_scratch_tpu.parallel.mesh import (
+        llama_param_specs, make_mesh, shard_params,
+    )
+
+    fused = fuse_projections(params)
+    specs = llama_param_specs(fused)
+    assert str(specs["layers"][0]["wqkv"]) == str(
+        jax.sharding.PartitionSpec(None, "tp"))
+    mesh = make_mesh(1, 2, devices=cpu_mesh_devices[:2])
+    sharded = shard_params(fused, mesh)
+    assert sharded["layers"][0]["wqkv"].sharding.spec[1] == "tp"
