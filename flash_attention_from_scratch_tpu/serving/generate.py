@@ -125,7 +125,9 @@ class GenerationServer:
         # Prefill newly admitted sequences — and preempted ones the scheduler
         # readmitted (recompute preemption resets them to length == prompt;
         # greedy decoding regenerates the same tokens deterministically).
-        decode_rows = []
+        # First tokens of all prefills come back in ONE host readback at the
+        # end — a per-prefill int(pick(...)) pays a full tunnel fence each.
+        decode_rows, pending = [], []
         for row, sid in enumerate(batch.ids.tolist()):
             st = self.seqs[sid]
             if st.prefilled and batch.lengths[row] == len(st.prompt):
@@ -138,10 +140,14 @@ class GenerationServer:
                     self.cache, jnp.asarray(batch.page_tables[row]),
                     prompt_len=len(st.prompt), interpret=self.interpret,
                 )
-                self._append(sid, int(self._pick(logits, sid)))
+                pending.append((sid, self._pick(logits, sid)))
                 st.prefilled = True
             else:
                 decode_rows.append(row)
+        if pending:
+            toks = np.asarray(jnp.stack([t for _, t in pending]))
+            for (sid, _), tok in zip(pending, toks):
+                self._append(sid, int(tok))
 
         if decode_rows:
             n = self._chunk_len(batch, decode_rows)
@@ -281,9 +287,23 @@ class GenerationServer:
             jnp.asarray(lengths), jnp.asarray(tables),
             interpret=self.interpret,
         )
-        for i, r in enumerate(decode_rows):
-            sid = int(batch.ids[r])
-            self._append(sid, int(self._pick(logits[i], sid)))
+        # One device->host readback for the whole batch: a per-row
+        # int(pick(...)) costs a full tunnel fence per TOKEN (~200 ms/step
+        # at max_batch 16 measured through the axon relay).
+        sids = [int(batch.ids[r]) for r in decode_rows]
+        if self.temperature <= 0.0:
+            toks = np.asarray(greedy_token(logits[:len(sids)]))
+        else:
+            keys = jnp.stack([
+                jax.random.fold_in(
+                    jax.random.fold_in(self._key, sid),
+                    len(self.seqs[sid].generated))
+                for sid in sids])
+            toks = np.asarray(jax.vmap(
+                lambda lg, k: sample_token(lg, k, self.temperature, self.top_k)
+            )(logits[:len(sids)], keys))
+        for i, sid in enumerate(sids):
+            self._append(sid, int(toks[i]))
         self.decode_tokens += len(decode_rows)
 
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
