@@ -41,6 +41,18 @@ def test_quant_matmul_kernel(mode):
     assert rel < 0.05, float(rel)
 
 
+def test_quant_matmul_n_inner_matches_n_outer():
+    """The K-outer/N-inner walk is numerically identical to the default."""
+    m, k, n = 8, 1024, 512
+    x, w = _mk(m, k, n, seed=3)
+    wq = quantize_weight(w, "int8")
+    base = quant_matmul(x, wq, block_m=8, block_k=256, block_n=256)
+    swept = quant_matmul(x, wq, block_m=8, block_k=256, block_n=256,
+                         n_inner=True)
+    assert jnp.array_equal(base.astype(jnp.float32),
+                           swept.astype(jnp.float32))
+
+
 @pytest.mark.parametrize("mode", ["int8", "int4"])
 def test_quant_matmul_fallback_ragged(mode):
     """Non-MXU-aligned M takes the fused XLA path and stays correct."""
