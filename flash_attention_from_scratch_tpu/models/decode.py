@@ -153,15 +153,16 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
             hi = by_page[:, :, ps // 2:] & 0x0F
             packed = (lo | (hi << 4)).astype(jnp.int8)
 
-            # Statically-unrolled per-(head, page) DUS rather than a
-            # page-dim scatter — same relayout-avoidance as the dense path
-            # below (and the axon AOT compiler crashes on fori_loop bodies
-            # whose DUS start indices are loop-derived gathers).
-            for h in range(kv_heads):
-                for p in range(n_used):
-                    pages = jax.lax.dynamic_update_slice(
-                        pages, packed[h, p][None, None],
-                        (h, page_table[p], 0, 0))
+            # Statically-unrolled per-page DUS rather than a page-dim
+            # scatter — same relayout-avoidance as the dense path below
+            # (and the axon AOT compiler crashes on fori_loop bodies whose
+            # DUS start indices are loop-derived gathers). All heads write
+            # the same page, so they collapse into one (kv_heads, 1, ., .)
+            # box per page.
+            for p in range(n_used):
+                pages = jax.lax.dynamic_update_slice(
+                    pages, packed[:, p][:, None],
+                    (0, page_table[p], 0, 0))
             return pages
 
         cache.k_pages[li] = scatter4(cache.k_pages[li], k)
@@ -169,23 +170,22 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
         return cache
 
     def scatter(pages, vals):
-        # Whole-page dynamic_update_slice per (head, page), never a
-        # gather/scatter op: XLA assigns scatters their own pool layout and
-        # relayouts the full pool twice per call (measured 7.6 ms/step on
-        # the 8B decode before the equivalent fix there). Each update here
-        # is a (1, 1, page_size, d) slab — contiguous in the pool's native
-        # layout. The prompt is zero-padded to whole pages; the tail slots
+        # Whole-page dynamic_update_slice per page (all heads as one box —
+        # head is the leading pool dim taken whole), never a gather/scatter
+        # op: XLA assigns scatters their own pool layout and relayouts the
+        # full pool twice per call (measured 7.6 ms/step on the 8B decode
+        # before the equivalent fix there). Each update here is a
+        # (kv_heads, 1, page_size, d) box. The prompt is zero-padded to
+        # whole pages; the tail slots
         # belong to this sequence and are overwritten by decode writes
         # before attention can see them (lengths mask the rest).
         kvh, _, d = vals.shape
         padded = jnp.zeros((kvh, n_used * ps, d), vals.dtype)
         padded = padded.at[:, :prompt_len].set(vals)
         by_page = padded.reshape(kvh, n_used, ps, d)
-        for h in range(kvh):
-            for p in range(n_used):
-                pages = jax.lax.dynamic_update_slice(
-                    pages, by_page[h, p][None, None],
-                    (h, page_table[p], 0, 0))
+        for p in range(n_used):
+            pages = jax.lax.dynamic_update_slice(
+                pages, by_page[:, p][:, None], (0, page_table[p], 0, 0))
         return pages
 
     cache.k_pages[li] = scatter(cache.k_pages[li], k)
@@ -338,20 +338,15 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         else:
             k_st, v_st = k, v
 
-        # One dynamic_update_slice per sequence instead of a gather/scatter:
-        # XLA assigns scatter ops their own pool layout, forcing TWO full
-        # relayout copies of every pool every step (measured 7.6 ms of a
-        # 26 ms 8B decode step); DUS preserves the layout and updates in
-        # place. The fori_loop body is a (kv_heads, 1, 1, d) write — its
-        # serialization is noise next to the weight stream.
-        # Statically-unrolled per-(sequence, head) dynamic_update_slice
-        # chain, never a gather/scatter and never a device loop: XLA
-        # assigns scatter ops their own pool layout (two full-pool
-        # relayout copies per layer per step — 7.6 ms of a 26 ms 8B step),
-        # and a fori_loop of row writes pays ~2 us of loop overhead per
-        # iteration (8192 iterations/step measured 44 ms total). Each DUS
-        # is a (1, 1, 1, d) row — contiguous in the pool's native layout —
-        # and the unrolled chain fuses into straight-line in-place stores.
+        # One dynamic_update_slice per SEQUENCE, never a gather/scatter and
+        # never a device loop. Measured alternatives on the 8B step: scatter
+        # ops get their own pool layout (two full-pool relayout copies per
+        # layer per step, 7.6 ms); a fori_loop of row writes pays ~2 us of
+        # loop overhead each (8192/step = 44 ms); a per-(sequence, head)
+        # DUS chain costs ~0.67 us per op (8192/step = 5.5 ms). All heads
+        # of one sequence target the same (page, slot), and head is the
+        # pool's LEADING dim taken whole — so they collapse into a single
+        # (kv_heads, 1, 1, d) box update, batch ops per pool per step.
         kvh = cfg.n_kv_heads
         if cache.mode == KVQuantMode.INT4:
             # Nibble read-modify-write on the sublane-packed page byte.
@@ -362,23 +357,21 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             def scatter(pages, rows):
                 q4 = rows & 0x0F  # (batch, kv_heads, d)
                 for b in range(batch):
-                    for h in range(kvh):
-                        at = (h, page_of_pos[b], byte_row[b], 0)
-                        old = jax.lax.dynamic_slice(
-                            pages, at, (1, 1, 1, pages.shape[3]))
-                        new = q4[b, h][None, None, None, :]
-                        lo_w = (old & jnp.int8(-16)) | new
-                        hi_w = (old & jnp.int8(0x0F)) | (new << 4)
-                        pages = jax.lax.dynamic_update_slice(
-                            pages, jnp.where(is_hi[b], hi_w, lo_w), at)
+                    at = (0, page_of_pos[b], byte_row[b], 0)
+                    old = jax.lax.dynamic_slice(
+                        pages, at, (kvh, 1, 1, pages.shape[3]))
+                    new = q4[b][:, None, None, :]
+                    lo_w = (old & jnp.int8(-16)) | new
+                    hi_w = (old & jnp.int8(0x0F)) | (new << 4)
+                    pages = jax.lax.dynamic_update_slice(
+                        pages, jnp.where(is_hi[b], hi_w, lo_w), at)
                 return pages
         else:
             def scatter(pages, rows):
                 for b in range(batch):
-                    for h in range(kvh):
-                        pages = jax.lax.dynamic_update_slice(
-                            pages, rows[b, h][None, None, None, :],
-                            (h, page_of_pos[b], slot_of_pos[b], 0))
+                    pages = jax.lax.dynamic_update_slice(
+                        pages, rows[b][:, None, None, :],
+                        (0, page_of_pos[b], slot_of_pos[b], 0))
                 return pages
 
         cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
