@@ -25,9 +25,13 @@ __all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B",
 
 
 def _mm(x, w):
-    """Dense or weight-only-quantized matmul, by weight type."""
+    """Dense or quantized matmul, dispatched by weight type.
+
+    A :class:`QuantizedWeight` carries its matmul recipe: ``act="int8"``
+    selects the int8 x int8 MXU path (W8A8/W4A8), otherwise weight-only.
+    """
     if isinstance(w, QuantizedWeight):
-        return quant_matmul(x, w)
+        return quant_matmul(x, w, act_quant=w.act == "int8")
     return x @ w
 
 
@@ -112,7 +116,8 @@ def init_params(cfg: LlamaConfig, key) -> dict:
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params, mode: str = "int8", quantize_lm_head: bool = True):
+def quantize_params(params, mode: str = "int8", quantize_lm_head: bool = True,
+                    act: str = "bf16"):
     """Weight-only quantization of every dense projection (norms/embed stay).
 
     Returns a params pytree where 2-D projection weights are
@@ -120,9 +125,9 @@ def quantize_params(params, mode: str = "int8", quantize_lm_head: bool = True):
     """
     out = dict(params)
     if quantize_lm_head:
-        out["lm_head"] = quantize_weight(params["lm_head"], mode)
+        out["lm_head"] = quantize_weight(params["lm_head"], mode, act)
     out["layers"] = [
-        {k: (quantize_weight(v, mode) if k in _QUANT_KEYS else v)
+        {k: (quantize_weight(v, mode, act) if k in _QUANT_KEYS else v)
          for k, v in layer.items()}
         for layer in params["layers"]
     ]
@@ -130,7 +135,8 @@ def quantize_params(params, mode: str = "int8", quantize_lm_head: bool = True):
 
 
 def init_quantized_params(cfg: LlamaConfig, key, mode: str = "int8",
-                          quantize_lm_head: bool = True) -> dict:
+                          quantize_lm_head: bool = True,
+                          act: str = "bf16") -> dict:
     """Random already-quantized params — for memory-bound benchmarks.
 
     ``init_params`` + ``quantize_params`` needs the dense model in HBM first
@@ -148,7 +154,7 @@ def init_quantized_params(cfg: LlamaConfig, key, mode: str = "int8",
                                   jnp.int8)
         scale = jnp.full((shape[1],), 1.0 / (qmax * math.sqrt(fan_in)),
                          jnp.float32)
-        return QuantizedWeight(vals, scale, mode, dt)
+        return QuantizedWeight(vals, scale, mode, dt, act)
 
     q_dim = cfg.n_heads * cfg.d_head
     kv_dim = cfg.n_kv_heads * cfg.d_head

@@ -131,6 +131,9 @@ def unpack_int4_halves(packed, out_dtype=jnp.float32):
     ``lo`` are columns [0, d/2), ``hi`` are columns [d/2, d). Sign-extension
     via arithmetic shifts: identical VPU ops inside Pallas kernels and jnp.
     """
+    # i32 shifts: Mosaic only legalizes 32-bit shift ops (i8/i16 shli fails
+    # to legalize, and v5e has no bf16 ALU for a float floor-trick route —
+    # both were measured slower or uncompilable on chip).
     i32 = packed.astype(jnp.int32)
     lo = (jnp.left_shift(i32, 28) >> 28).astype(out_dtype)
     hi = (jnp.left_shift(i32, 24) >> 28).astype(out_dtype)

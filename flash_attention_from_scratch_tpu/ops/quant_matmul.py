@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import unpack_int4_halves
 
 __all__ = ["QuantizedWeight", "quantize_weight", "quant_matmul",
-           "concat_weights"]
+           "quantize_activations", "concat_weights"]
 
 _QMAX = {"int8": 127.0, "int4": 7.0}
 
@@ -39,19 +39,26 @@ _QMAX = {"int8": 127.0, "int4": 7.0}
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizedWeight:
-    """values (K, N) int8 (int4: (K//2, N) packed) + per-column scales (N,)."""
+    """values (K, N) int8 (int4: (K//2, N) packed) + per-column scales (N,).
+
+    ``act`` records the matmul recipe: "bf16" = weight-only (dequantize to
+    the activation dtype on the VPU), "int8" = also quantize activations
+    per-row and use int8 x int8 MXU dots (W8A8/W4A8).
+    """
 
     values: jax.Array
     scales: jax.Array
     mode: str
     orig_dtype: object = jnp.bfloat16
+    act: str = "bf16"
 
     def tree_flatten(self):
-        return (self.values, self.scales), (self.mode, self.orig_dtype)
+        return ((self.values, self.scales),
+                (self.mode, self.orig_dtype, self.act))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], *aux)
 
     @property
     def k_dim(self) -> int:
@@ -70,8 +77,8 @@ class QuantizedWeight:
         return (w * self.scales[None, :]).astype(self.orig_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def quantize_weight(w, mode: str = "int8") -> QuantizedWeight:
+@functools.partial(jax.jit, static_argnames=("mode", "act"))
+def quantize_weight(w, mode: str = "int8", act: str = "bf16") -> QuantizedWeight:
     """Symmetric per-output-channel quantization of a (K, N) weight."""
     wf = w.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / _QMAX[mode], 1e-12)
@@ -86,7 +93,7 @@ def quantize_weight(w, mode: str = "int8") -> QuantizedWeight:
         vals = (lo | (hi << 4)).astype(jnp.int8)
     else:
         raise ValueError(f"unknown weight quant mode {mode!r}")
-    return QuantizedWeight(vals, scale, mode, w.dtype)
+    return QuantizedWeight(vals, scale, mode, w.dtype, act)
 
 
 def concat_weights(ws) -> QuantizedWeight:
@@ -104,7 +111,15 @@ def concat_weights(ws) -> QuantizedWeight:
     return QuantizedWeight(
         jnp.concatenate([w.values for w in ws], axis=1),
         jnp.concatenate([w.scales for w in ws], axis=0),
-        ws[0].mode, ws[0].orig_dtype)
+        ws[0].mode, ws[0].orig_dtype, ws[0].act)
+
+
+def _stored_int8_columns(wq: QuantizedWeight):
+    """The (K, N) int8 value matrix (int4 halves unpacked, un-scaled)."""
+    if wq.mode == "int4":
+        lo, hi = unpack_int4_halves(wq.values, jnp.int8)
+        return jnp.concatenate([lo, hi], axis=0)
+    return wq.values
 
 
 def _precision(compute_dtype):
@@ -156,6 +171,58 @@ def _qmm_kernel_int8(num_k: int, compute_dtype,
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _qmm_kernel_int8_a8(num_k: int, x_ref, xs_ref, w_ref, s_ref, o_ref,
+                        acc_ref):
+    """W8A8: int8 x int8 MXU dot with exact int32 accumulation.
+
+    The weight tile goes straight from DMA to the MXU — zero per-value
+    VPU converts, unlike the weight-only path whose int8->bf16 upconvert
+    is the throughput ceiling (measured: the bf16-activation int8 kernel
+    streams at ~620 GB/s conversion-bound; int4 runs at int8's speed for
+    half the bytes). Scales fold in once per output tile: per-row
+    activation scale x per-column weight scale.
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * xs_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _qmm_kernel_int4_a8(num_k: int, x_lo_ref, x_hi_ref, xs_ref, w_ref, s_ref,
+                        o_ref, acc_ref):
+    """W4A8: unpack nibbles to int8, two int8 MXU dots, int32 accumulation."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    lo, hi = unpack_int4_halves(w_ref[...], jnp.int8)
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+                      * xs_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
 def _qmm_kernel_int8_nlast(num_k: int, bn: int, compute_dtype,
                            x_ref, w_ref, s_ref, o_ref, acc_ref):
     """K-outer / N-inner walk: weight reads sweep one contiguous K-stripe.
@@ -184,6 +251,59 @@ def _qmm_kernel_int8_nlast(num_k: int, bn: int, compute_dtype,
     @pl.when(ki == num_k - 1)
     def _():
         o_ref[...] = (acc_ref[:, cols] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_qmm_a8(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
+                  bm: int, bk: int, bn: int, interpret: bool):
+    """Activation-quantized (int8 x int8 MXU) variant of ``_build_qmm``."""
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    k_eff = k // 2 if mode == "int4" else k
+    num_k = k_eff // bk
+
+    def x_lo_idx(i, j, ki):
+        return (i, ki)
+
+    if mode == "int4":
+        kernel = functools.partial(_qmm_kernel_int4_a8, num_k)
+
+        def x_hi_idx(i, j, ki):
+            return (i, ki + num_k)
+
+        x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM)]
+    else:
+        kernel = functools.partial(_qmm_kernel_int8_a8, num_k)
+        x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM)]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, num_k),
+        in_specs=x_specs + [
+            pl.BlockSpec((bm, 1), lambda i, j, ki: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), compute_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k + k_eff * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    if mode == "int4":
+        return jax.jit(lambda xq, xs, w, s: call(xq, xq, xs, w, s))
+    return jax.jit(lambda xq, xs, w, s: call(xq, xs, w, s))
 
 
 @functools.lru_cache(maxsize=256)
@@ -272,8 +392,39 @@ def _build_qmm(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
     return jax.jit(lambda x, w, s: call(x, w, s))
 
 
+def _fit_block(block: int, dim: int, quantum: int) -> int:
+    """Largest tile <= ``block`` that divides ``dim``, multiple of ``quantum``.
+
+    Requiring divisibility by the *default* block silently sent odd output
+    widths to the XLA fallback — Llama's 128256-wide lm_head landed there
+    every decode step (its int4 dequant fusion alone measured 5.6 ms/step
+    on the 8B model; the fitted 768-wide tile keeps it in the kernel).
+    Returns 0 when no such tile exists (caller falls back).
+    """
+    b = min(block, dim)
+    b -= b % quantum
+    while b >= quantum and dim % b:
+        b -= quantum
+    return max(b, 0)
+
+
+def quantize_activations(x, *, qmax: float = 127.0):
+    """Per-row symmetric int8 quantization of (..., K) activations.
+
+    Returns ``(x_q int8, scales f32 (..., 1))``. The row absmax sets the
+    scale, so the quantization error is <= scale/2 per element (~0.4%
+    relative for typical rows).
+    """
+    xf = x.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / qmax,
+                         1e-12)
+    x_q = jnp.clip(jnp.round(xf / scales), -qmax, qmax).astype(jnp.int8)
+    return x_q, scales
+
+
 def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
                  block_k: int = 512, block_n: int = 2048,
+                 act_quant: bool = False,
                  n_inner: bool | None = None, interpret: bool | None = None):
     """``x @ W`` with W stored int8/int4, dequant fused into the kernel.
 
@@ -286,6 +437,13 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     tokens/s end to end (bigger N tiles amortize the per-grid-step ramp of
     the weight stream; K 1024 regressed slightly). Tiles clamp to the
     operand, so small layers keep working.
+
+    ``act_quant=True`` additionally quantizes activations per-row to int8
+    and runs int8 x int8 MXU dots with exact int32 accumulation (W8A8 /
+    W4A8): the weight tile goes straight from DMA to the MXU with no
+    per-value upconvert, which is the weight-only path's throughput
+    ceiling. Adds ~0.4% relative activation rounding error — opt in per
+    weight via ``quantize_weight(..., act="int8")`` or per call.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -299,14 +457,30 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     x2 = x.reshape(m, k)
 
     k_eff = k // 2 if wq.mode == "int4" else k
-    bm = min(block_m, m)
-    bk = min(block_k, k_eff)
-    bn = min(block_n, n)
-    aligned = (m % bm == 0 and k_eff % bk == 0 and n % bn == 0
-               and bm % 8 == 0 and bk % 128 == 0 and bn % 128 == 0)
+    bm = _fit_block(block_m, m, 8)
+    bk = _fit_block(block_k, k_eff, 128)
+    bn = _fit_block(block_n, n, 128)
+    aligned = bm > 0 and bk > 0 and bn > 0
     if not aligned:
+        if act_quant:
+            # Same math as the a8 kernel (exact int32 accumulation in XLA)
+            # so ragged shapes stay consistent with the kernel path.
+            x_q, xs = quantize_activations(x2)
+            acc = jax.lax.dot_general(
+                x_q, _stored_int8_columns(wq), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) * xs
+                   * wq.scales[None, :].astype(jnp.float32))
+            return out.astype(x.dtype).reshape(*lead, n)
         out = (x2.astype(jnp.float32) @ wq.dequantize().astype(jnp.float32))
         return out.astype(x.dtype).reshape(*lead, n)
+
+    if act_quant:
+        x_q, xs = quantize_activations(x2)
+        fn = _build_qmm_a8(m, k, n, wq.mode, str(x.dtype), bm, bk, bn,
+                           interpret)
+        scales = wq.scales.reshape(1, n).astype(jnp.float32)
+        return fn(x_q, xs, wq.values, scales).reshape(*lead, n)
 
     # The K-outer/N-inner walk needs the full-N fp32 accumulator row in
     # VMEM next to the double-buffered tiles; cap its use by footprint.

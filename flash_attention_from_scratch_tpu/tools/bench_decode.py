@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--model", default="8b", choices=sorted(MODELS))
     ap.add_argument("--weights", default="int8",
                     choices=["int8", "int4", "bf16"])
+    ap.add_argument("--act", default="bf16", choices=["bf16", "int8"],
+                    help="activation handling in the dense layers: bf16 = "
+                         "weight-only dequant matmuls; int8 = W8A8/W4A8 "
+                         "(per-row activation quant, int8 MXU dots)")
     ap.add_argument("--kv", default="int8",
                     choices=["dense", "int8", "fp8"])
     ap.add_argument("--batch", type=int, default=16)
@@ -80,7 +84,7 @@ def main(argv=None):
     if args.weights == "bf16":
         params = init_params(cfg, key)
     else:
-        params = init_quantized_params(cfg, key, args.weights)
+        params = init_quantized_params(cfg, key, args.weights, act=args.act)
     if args.fuse:
         params = fuse_projections(params)
     pbytes = _param_bytes(params)
@@ -174,7 +178,9 @@ def main(argv=None):
     step_bytes = pbytes + kv_read
     roofline_tps = hbm_gbps() * 1e9 / step_bytes * args.batch
     print(json.dumps({
-        "metric": f"decode_tokens_per_s_{args.model}_w{args.weights}_kv{args.kv}",
+        "metric": (f"decode_tokens_per_s_{args.model}_w{args.weights}"
+                       + (f"a8" if args.act == "int8" else "")
+                       + f"_kv{args.kv}"),
         "value": round(tps, 2),
         "unit": "tokens/s/chip",
         "ms_per_step": round(ms_per_step, 3),

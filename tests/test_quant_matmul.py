@@ -41,6 +41,51 @@ def test_quant_matmul_kernel(mode):
     assert rel < 0.05, float(rel)
 
 
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quant_matmul_act_quant_kernel(mode):
+    """W8A8/W4A8 kernel vs the same math in exact integer arithmetic."""
+    from flash_attention_from_scratch_tpu.ops.quant_matmul import (
+        _stored_int8_columns, quantize_activations,
+    )
+    import numpy as np
+
+    m, k, n = 16, 512, 256
+    x, w = _mk(m, k, n, seed=4)
+    wq = quantize_weight(w, mode, act="int8")
+    got = quant_matmul(x, wq, block_m=16, block_k=128, block_n=128,
+                       act_quant=True)
+    x_q, xs = quantize_activations(x)
+    acc = np.asarray(x_q, np.int64) @ np.asarray(_stored_int8_columns(wq),
+                                                 np.int64)
+    want = (acc.astype(np.float64) * np.asarray(xs, np.float64)
+            * np.asarray(wq.scales, np.float64)[None, :])
+    err = np.max(np.abs(np.asarray(got, np.float64) - want))
+    # int32 accumulation is exact; the only error is the bf16 output cast.
+    assert err <= 0.008 * np.max(np.abs(want)), float(err)
+    # And the result approximates the dequantized matmul to quant error.
+    dense = np.asarray(x, np.float64) @ np.asarray(wq.dequantize(), np.float64)
+    rel = np.max(np.abs(np.asarray(got, np.float64) - dense)) / np.max(np.abs(dense))
+    assert rel < 0.05, float(rel)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_quant_matmul_act_quant_ragged_matches_kernel_math(mode):
+    """The ragged fallback uses the same int math as the a8 kernel."""
+    x, w = _mk(3, 256, 256, seed=5)
+    wq = quantize_weight(w, mode, act="int8")
+    got = quant_matmul(x, wq, act_quant=True)
+    want = x.astype(jnp.float32) @ wq.dequantize().astype(jnp.float32)
+    assert jnp.max(jnp.abs(got.astype(jnp.float32) - want)) < 0.08
+
+
+def test_quantized_weight_act_roundtrip():
+    _, w = _mk(8, 256, 256, seed=6)
+    wq = quantize_weight(w, "int8", act="int8")
+    leaves, treedef = jax.tree_util.tree_flatten(wq)
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert back.act == "int8" and back.mode == "int8"
+
+
 def test_quant_matmul_n_inner_matches_n_outer():
     """The K-outer/N-inner walk is numerically identical to the default."""
     m, k, n = 8, 1024, 512
