@@ -199,27 +199,44 @@ def _qmm_kernel_int8_a8(num_k: int, x_ref, xs_ref, w_ref, s_ref, o_ref,
                       * xs_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-def _qmm_kernel_int4_a8(num_k: int, x_lo_ref, x_hi_ref, xs_ref, w_ref, s_ref,
-                        o_ref, acc_ref):
-    """W4A8: unpack nibbles to int8, two int8 MXU dots, int32 accumulation."""
+def _qmm_kernel_int4_a8(num_k: int, x_lo_ref, x_hi_ref, rs_ref, xs_ref, w_ref,
+                        s_ref, o_ref, acc_ref):
+    """W4A8: bitwise-only nibble handling, two int8 MXU dots, exact int32.
+
+    Mosaic legalizes int8 AND/XOR but not int8 shifts or subtraction, and
+    the i32-shift unpack pays an 8-bit->32-bit relayout on every weight
+    byte. Both nibbles instead reach the MXU as plain int8 bitmasks:
+
+      ``hi16 = p & 0xF0``  equals ``16 * hi`` exactly (two's complement),
+      so ``dot(x_hi, hi16) >> 4`` is the hi product (each term is a
+      multiple of 16, the shift is exact);
+      ``lo_b = (p & 15) ^ 8`` equals ``lo + 8``, so the lo product carries
+      a ``+8 * rowsum(x_lo)`` bias, removed once at the end from the
+      precomputed full-row sums ``rs_ref``.
+
+    Zero per-weight-byte type conversions: the VPU cost drops from two
+    int8->int32 unpack/shift pipelines to three lane-width int8 bit ops.
+    """
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    lo, hi = unpack_int4_halves(w_ref[...], jnp.int8)
+    p = w_ref[...]
+    lo_b = (p & 15) ^ 8
+    hi16 = p & jnp.int8(-16)
     acc_ref[...] += jax.lax.dot_general(
-        x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+        x_lo_ref[...], lo_b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ) + jax.lax.dot_general(
-        x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+    ) + (jax.lax.dot_general(
+        x_hi_ref[...], hi16, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )
+    ) >> 4)
 
     @pl.when(ki == num_k - 1)
     def _():
-        o_ref[...] = (acc_ref[...].astype(jnp.float32)
+        o_ref[...] = ((acc_ref[...] - 8 * rs_ref[...]).astype(jnp.float32)
                       * xs_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
@@ -270,8 +287,11 @@ def _build_qmm_a8(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
         def x_hi_idx(i, j, ki):
             return (i, ki + num_k)
 
+        # x_lo half, x_hi half, and the full-row x_lo sums for the +8 bias.
         x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM)]
+                   pl.BlockSpec((bm, bk), x_hi_idx, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bm, 1), lambda i, j, ki: (i, 0),
+                                memory_space=pltpu.VMEM)]
     else:
         kernel = functools.partial(_qmm_kernel_int8_a8, num_k)
         x_specs = [pl.BlockSpec((bm, bk), x_lo_idx, memory_space=pltpu.VMEM)]
@@ -302,7 +322,11 @@ def _build_qmm_a8(m: int, k: int, n: int, mode: str, compute_dtype_name: str,
         interpret=interpret,
     )
     if mode == "int4":
-        return jax.jit(lambda xq, xs, w, s: call(xq, xq, xs, w, s))
+        def int4_call(xq, xs, w, s):
+            rs = jnp.sum(xq[:, : k // 2], axis=1, dtype=jnp.int32,
+                         keepdims=True)
+            return call(xq, xq, rs, xs, w, s)
+        return jax.jit(int4_call)
     return jax.jit(lambda xq, xs, w, s: call(xq, xs, w, s))
 
 
