@@ -238,7 +238,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 
 def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
-                                   mode, mesh, interpret):
+                                   mode, mesh, interpret, attn_int8=False):
     """Paged decode attention, shard_mapped over tp when a mesh is given.
 
     KV heads (pool dim 0) and Q heads shard over the model axis — the same
@@ -250,7 +250,7 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, page_tables, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            interpret=interpret)
+            int8_compute=attn_int8, interpret=interpret)
 
     from functools import partial
 
@@ -273,16 +273,17 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, pt, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            interpret=interpret)
+            int8_compute=attn_int8, interpret=interpret)
 
     return local(q, kp, vp, ks, vs, lengths, page_tables)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh"),
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh",
+                                             "attn_int8"),
                    donate_argnames=("cache",))
 def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, interpret: Optional[bool] = None,
-                mesh=None):
+                mesh=None, attn_int8: bool = False):
     """One decode step for the whole running batch.
 
     Args:
@@ -381,6 +382,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q, cache.k_pages[li], cache.v_pages[li],
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
+            attn_int8=attn_int8,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         x = x + _mm(out, layer["wo"])
@@ -392,12 +394,14 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "temperature",
-                                             "top_k", "interpret", "mesh"),
+                                             "top_k", "interpret", "mesh",
+                                             "attn_int8"),
                    donate_argnames=("cache",))
 def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, steps: int, *, row_keys=None,
                 pos0=None, temperature: float = 0.0, top_k: int = 0,
-                interpret: Optional[bool] = None, mesh=None):
+                interpret: Optional[bool] = None, mesh=None,
+                attn_int8: bool = False):
     """``steps`` decode iterations inside ONE jit via ``lax.scan``.
 
     Amortizes host dispatch over a whole chunk: through the axon tunnel one
@@ -431,7 +435,7 @@ def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         lengths = lengths + 1
         logits, cache = decode_step(params, toks, cfg, cache, lengths,
                                     page_tables, interpret=interpret,
-                                    mesh=mesh)
+                                    mesh=mesh, attn_int8=attn_int8)
         if temperature <= 0.0 or row_keys is None:
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         else:

@@ -12,15 +12,18 @@ bandwidth:
   sequence lengths ride ``PrefetchScalarGridSpec`` so DMA addresses are
   known up front.
 - **Cross-program pipelining**: grid steps on TPU run sequentially, and
-  VMEM scratch persists across them — so each (batch, kv_head) program
-  bursts ALL of the *next* program's page DMAs while computing on its own
-  buffered pages (started one step earlier). Without this, every one of the
-  batch x kv_heads x layers programs pays the full DMA latency as a bubble;
-  with it the page stream never stalls.
+  VMEM scratch persists across them — so each program bursts ALL of the
+  *next* program's page DMAs while computing on its own buffered pages
+  (started one step earlier). Without this, every program pays the full DMA
+  latency as a bubble; with it the page stream never stalls.
+- **One grid step per sequence**: the whole-window variant handles every KV
+  head inside one program (grid (batch,), not (batch, kv_heads)) — the
+  fixed per-grid-step cost (sequencer + q/o block pipeline) measured larger
+  than the DMA descriptors, so fewer/fatter steps win.
 - One masked softmax over the whole buffered window (group x max_kv tile)
   instead of an online per-page loop — decode tiles are tiny, the VPU pass
   is cheap, and it removes the serial dependency chain.
-- GQA-native: each program attends the whole Q-head group of its KV head.
+- GQA-native: each program attends the whole Q-head group of every KV head.
 - Quantized cache modes: INT8 / FP8-e4m3 pages, and sublane-packed INT4
   (byte (t, c) = token t lo nibble / token t + page_size/2 hi nibble —
   keeps the page's lane dim 128-wide so per-page DMA slices stay legal).
@@ -55,8 +58,17 @@ def _scale_col_blocks(x, scales, block: int):
     return jnp.concatenate(parts, axis=1)
 
 
+def _quantize_q_rows(q):
+    """Per-row symmetric int8 quantization of the (group, d) query tile."""
+    qf = q.astype(jnp.float32)
+    q_scale = jnp.maximum(
+        jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-12) / 127.0
+    return jnp.round(qf / q_scale).astype(jnp.int8), q_scale
+
+
 def _full_kernel(page_size: int, d: int, mode: str, scale: float,
-                 compute_dtype, max_pages: int,
+                 compute_dtype, max_pages: int, int8_compute: bool,
+                 kv_heads: int,
                  # scalar prefetch
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  # inputs
@@ -65,92 +77,72 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
                  o_ref,
                  # scratch
                  k_buf, v_buf, sems):
+    """One grid step per SEQUENCE; every KV head is handled in-program.
+
+    Folding the head dimension into the program (grid (batch,) rather than
+    (batch, kv_heads)) amortizes the fixed per-grid-step cost — sequencer +
+    q/o block pipeline — over kv_heads times more work; the page-size sweep
+    (332 -> 379 GB/s from 16x fewer DMA descriptors) showed descriptors are
+    cheap, so the step count, not the DMA count, is the overhead that
+    matters.
+    """
     b = pl.program_id(0)
-    hk = pl.program_id(1)
-    nh = pl.num_programs(1)
-    step = b * nh + hk
-    total = pl.num_programs(0) * nh
-    slot = jax.lax.rem(step, 2)
+    total = pl.num_programs(0)
+    slot = jax.lax.rem(b, 2)
     rows = page_size // 2 if mode == "int4" else page_size
 
     def n_pages_of(bb):
         return pl.cdiv(lengths_ref[bb], page_size)
 
-    def page_dmas(slot_idx, bb, hh):
+    def dma_pair(slot_idx, h, i, page):
+        return (
+            pltpu.make_async_copy(k_hbm.at[h, page],
+                                  k_buf.at[slot_idx, h,
+                                           pl.ds(i * rows, rows)],
+                                  sems.at[0, slot_idx, h, i]),
+            pltpu.make_async_copy(v_hbm.at[h, page],
+                                  v_buf.at[slot_idx, h,
+                                           pl.ds(i * rows, rows)],
+                                  sems.at[1, slot_idx, h, i]),
+        )
+
+    def start_all(slot_idx, bb):
+        npg = n_pages_of(bb)
         for i in range(max_pages):
             page = pt_ref[bb, i]
-            yield i, (
-                pltpu.make_async_copy(k_hbm.at[hh, page],
-                                      k_buf.at[slot_idx,
-                                               pl.ds(i * rows, rows)],
-                                      sems.at[0, slot_idx, i]),
-                pltpu.make_async_copy(v_hbm.at[hh, page],
-                                      v_buf.at[slot_idx,
-                                               pl.ds(i * rows, rows)],
-                                      sems.at[1, slot_idx, i]),
-            )
 
-    def start_all(slot_idx, bb, hh):
-        npg = n_pages_of(bb)
-        for i, (kd, vd) in page_dmas(slot_idx, bb, hh):
             @pl.when(i < npg)
-            def _():
-                kd.start()
-                vd.start()
+            def _(i=i, page=page):
+                for h in range(kv_heads):
+                    kd, vd = dma_pair(slot_idx, h, i, page)
+                    kd.start()
+                    vd.start()
 
-    def wait_all(slot_idx, bb, hh):
+    def wait_all(slot_idx, bb):
         npg = n_pages_of(bb)
-        for i, (kd, vd) in page_dmas(slot_idx, bb, hh):
+        for i in range(max_pages):
+            page = pt_ref[bb, i]
+
             @pl.when(i < npg)
-            def _():
-                kd.wait()
-                vd.wait()
+            def _(i=i, page=page):
+                for h in range(kv_heads):
+                    kd, vd = dma_pair(slot_idx, h, i, page)
+                    kd.wait()
+                    vd.wait()
 
     # Warmup: the very first program bursts its own pages.
-    @pl.when(step == 0)
+    @pl.when(b == 0)
     def _():
-        start_all(0, b, hk)
+        start_all(0, b)
 
-    # Pipeline: burst the NEXT program's pages before computing on ours.
-    @pl.when(step + 1 < total)
+    # Pipeline: burst the NEXT sequence's pages before computing on ours.
+    @pl.when(b + 1 < total)
     def _():
-        nxt = step + 1
-        start_all(jax.lax.rem(nxt, 2), nxt // nh, jax.lax.rem(nxt, nh))
+        start_all(jax.lax.rem(b + 1, 2), b + 1)
 
-    wait_all(slot, b, hk)
+    wait_all(slot, b)
 
     length = lengths_ref[b]
-    q = q_ref[0, 0]  # (group, d)
-
-    if mode == "int4":
-        # Sublane-packed pages: lo nibbles are each page's tokens
-        # [0, ps/2), hi nibbles tokens [ps/2, ps). Working in "half order"
-        # (all lo rows, then all hi rows) avoids any interleave — softmax is
-        # permutation-invariant as long as K rows, V rows, and the mask
-        # positions agree.
-        k_lo, k_hi = unpack_int4_halves(k_buf[slot], compute_dtype)
-        v_lo, v_hi = unpack_int4_halves(v_buf[slot], compute_dtype)
-        k_all = jnp.concatenate([k_lo, k_hi], axis=0)
-        v_all = jnp.concatenate([v_lo, v_hi], axis=0)
-    elif mode == "dense":
-        k_all = k_buf[slot]
-        v_all = v_buf[slot]
-    else:
-        k_all = k_buf[slot].astype(compute_dtype)
-        v_all = v_buf[slot].astype(compute_dtype)
-
-    s = jax.lax.dot_general(
-        q, k_all, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * (scale * LOG2E)
-
-    if mode != "dense":
-        # Clamp -1 page-table padding: masked columns only need a safe read.
-        safe = [jnp.maximum(pt_ref[b, i], 0) for i in range(max_pages)]
-        k_sc = [ks_ref[hk, p] for p in safe]
-        v_sc = [vs_ref[hk, p] for p in safe]
-        if mode == "int4":
-            k_sc, v_sc = k_sc + k_sc, v_sc + v_sc  # lo blocks then hi blocks
-        s = _scale_col_blocks(s, k_sc, rows)
 
     # Token position of each score column (half-order aware for int4).
     def token_pos(idx):
@@ -162,29 +154,96 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
         return ((c2 // half) * page_size + jax.lax.rem(c2, half)
                 + jnp.where(idx >= n_half, half, 0))
 
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(token_pos(col) < length, s, MASK_VALUE)
-
-    # Zero V rows past the length: their P weights are exactly 0, but never-
-    # DMA'd buffer rows can hold non-finite bits and 0 * NaN = NaN (found by
-    # tools/check_races.py with NaN-poisoned interpreter memory).
-    vrow = jax.lax.broadcasted_iota(jnp.int32, (v_all.shape[0], 1), 0)
-    v_all = jnp.where(token_pos(vrow) < length, v_all, 0)
-
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
     if mode != "dense":
-        p = _scale_col_blocks(p, v_sc, rows)
-    pv = jax.lax.dot_general(
-        p.astype(compute_dtype), v_all, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = (pv / l).astype(o_ref.dtype)
+        # Clamp -1 page-table padding: masked columns only need a safe read.
+        safe = [jnp.maximum(pt_ref[b, i], 0) for i in range(max_pages)]
+    if int8_compute:
+        npg = n_pages_of(b)
+
+    for hk in range(kv_heads):
+        q = q_ref[0, hk]  # (group, d)
+
+        if mode == "int4":
+            # Sublane-packed pages: lo nibbles are each page's tokens
+            # [0, ps/2), hi nibbles tokens [ps/2, ps). Working in "half
+            # order" (all lo rows, then all hi rows) avoids any interleave —
+            # softmax is permutation-invariant as long as K rows, V rows,
+            # and the mask positions agree.
+            k_lo, k_hi = unpack_int4_halves(k_buf[slot, hk], compute_dtype)
+            v_lo, v_hi = unpack_int4_halves(v_buf[slot, hk], compute_dtype)
+            k_all = jnp.concatenate([k_lo, k_hi], axis=0)
+            v_all = jnp.concatenate([v_lo, v_hi], axis=0)
+        elif mode == "dense" or int8_compute:
+            k_all = k_buf[slot, hk]  # int8_compute: raw, straight to the MXU
+            v_all = v_buf[slot, hk]
+        else:
+            k_all = k_buf[slot, hk].astype(compute_dtype)
+            v_all = v_buf[slot, hk].astype(compute_dtype)
+
+        if int8_compute:
+            # The kernel is compute-bound, not DMA-bound. Quantizing q per
+            # row makes S an exact int8 x int8 -> int32 MXU dot with zero K
+            # upconverts, at the int8 MXU rate.
+            q_i8, q_scale = _quantize_q_rows(q)
+            s = jax.lax.dot_general(
+                q_i8, k_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (q_scale * (scale * LOG2E))
+        else:
+            s = jax.lax.dot_general(
+                q, k_all, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (scale * LOG2E)
+
+        if mode != "dense":
+            k_sc = [ks_ref[hk, p] for p in safe]
+            v_sc = [vs_ref[hk, p] for p in safe]
+            if mode == "int4":
+                k_sc, v_sc = k_sc + k_sc, v_sc + v_sc  # lo then hi blocks
+            s = _scale_col_blocks(s, k_sc, rows)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(token_pos(col) < length, s, MASK_VALUE)
+
+        if not int8_compute:
+            # Zero V rows past the length: their P weights are exactly 0,
+            # but never-DMA'd buffer rows can hold non-finite bits and
+            # 0 * NaN = NaN (found by tools/check_races.py with NaN-poisoned
+            # interpreter memory). int8 V has no NaN bit patterns.
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (v_all.shape[0], 1), 0)
+            v_all = jnp.where(token_pos(vrow) < length, v_all, 0)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if int8_compute:
+            # max(p) == exp2(0) == 1 per row, so P quantizes with the
+            # constant scale 127. Per-page V scales (<= v_max by
+            # construction) fold into P *before* the round, so the int8 dot
+            # is dequantized by a single v_max / 127 — attention weights
+            # below ~1/254 of the row max round to zero, the standard
+            # int8-attention approximation.
+            v_valid = [jnp.where(i < npg, v_sc[i], 0.0)
+                       for i in range(max_pages)]
+            v_max = jnp.maximum(functools.reduce(jnp.maximum, v_valid), 1e-30)
+            p_rel = _scale_col_blocks(p, [sc / v_max for sc in v_valid], rows)
+            p_i8 = jnp.round(p_rel * 127.0).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (v_max / 127.0)
+        else:
+            if mode != "dense":
+                p = _scale_col_blocks(p, v_sc, rows)
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), v_all, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[0, hk] = (pv / l).astype(o_ref.dtype)
 
 
 def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
-                 compute_dtype,
+                 compute_dtype, int8_compute: bool,
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  q_ref, k_hbm, v_hbm,
                  o_ref,
@@ -212,6 +271,8 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
     q = q_ref[0, 0]
     group = q.shape[0]
     c = scale * LOG2E
+    if int8_compute:
+        q_i8, q_scale = _quantize_q_rows(q)
 
     def body(i, carry):
         m, l, acc = carry
@@ -233,34 +294,53 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
             v_lo, v_hi = unpack_int4_halves(v_buf[slot], compute_dtype)
             k = jnp.concatenate([k_lo, k_hi], axis=0)
             v = jnp.concatenate([v_lo, v_hi], axis=0)
-        elif mode == "dense":
+        elif mode == "dense" or int8_compute:
             k, v = k_buf[slot], v_buf[slot]
         else:
             k = k_buf[slot].astype(compute_dtype)
             v = v_buf[slot].astype(compute_dtype)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * c
+        if int8_compute:
+            s = jax.lax.dot_general(
+                q_i8, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (q_scale * c)
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * c
         if mode != "dense":
             s = s * ks_ref[hk, page]
         col = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < length, s, MASK_VALUE)
-        # Zero V rows past the length (0 * NaN = NaN; see _full_kernel note).
-        vrow = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (v.shape[0], 1), 0)
-        v = jnp.where(vrow < length, v, 0)
+        if not int8_compute:
+            # Zero V rows past the length (0 * NaN = NaN; see _full_kernel
+            # note). int8 V has no NaN bit patterns.
+            vrow = i * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (v.shape[0], 1), 0)
+            v = jnp.where(vrow < length, v, 0)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp2(s - m_new)
         alpha = jnp.exp2(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if mode != "dense":
-            pv = pv * vs_ref[hk, page]  # per-page V dequant scale
+        if int8_compute:
+            # max(p) <= 1, so the constant scale 127 is exact (see
+            # _full_kernel); one page per iteration means the per-page V
+            # scale dequantizes the int32 dot directly.
+            p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (vs_ref[hk, page] / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mode != "dense":
+                pv = pv * vs_ref[hk, page]  # per-page V dequant scale
         return m_new, l_new, acc * alpha + pv
 
     init = (
@@ -278,43 +358,57 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
 def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
                        page_size: int, pages_per_seq: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
-                       scale: float, interpret: bool):
+                       scale: float, interpret: bool,
+                       int8_compute: bool = False):
     store_dtype = jnp.dtype(store_dtype_name)
     compute_dtype = jnp.dtype(compute_dtype_name)
     # int4 pages are sublane-packed: (page_size // 2, d_head) bytes per page.
     buf_rows = page_size // 2 if mode == "int4" else page_size
 
-    full_bytes = 2 * 2 * pages_per_seq * buf_rows * d * store_dtype.itemsize
+    full_bytes = (2 * 2 * kv_heads * pages_per_seq * buf_rows * d
+                  * store_dtype.itemsize)
     use_full = full_bytes <= _FULL_VARIANT_VMEM_CAP
 
     if use_full:
+        # Grid (batch,): all KV heads per program (see _full_kernel).
         kernel = functools.partial(_full_kernel, page_size, d, mode, scale,
-                                   compute_dtype, pages_per_seq)
+                                   compute_dtype, pages_per_seq, int8_compute,
+                                   kv_heads)
         scratch = [
-            pltpu.VMEM((2, pages_per_seq * buf_rows, d), store_dtype),
-            pltpu.VMEM((2, pages_per_seq * buf_rows, d), store_dtype),
-            pltpu.SemaphoreType.DMA((2, 2, pages_per_seq)),
+            pltpu.VMEM((2, kv_heads, pages_per_seq * buf_rows, d),
+                       store_dtype),
+            pltpu.VMEM((2, kv_heads, pages_per_seq * buf_rows, d),
+                       store_dtype),
+            pltpu.SemaphoreType.DMA((2, 2, kv_heads, pages_per_seq)),
         ]
+        grid = (batch,)
+        qo_spec = pl.BlockSpec((1, kv_heads, group, d),
+                               lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        semantics = ("arbitrary",)
     else:
         kernel = functools.partial(_loop_kernel, page_size, d, mode, scale,
-                                   compute_dtype)
+                                   compute_dtype, int8_compute)
         scratch = [
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
+        grid = (batch, kv_heads)
+        qo_spec = pl.BlockSpec((1, 1, group, d),
+                               lambda b, hk, *_: (b, hk, 0, 0),
+                               memory_space=pltpu.VMEM)
+        semantics = ("arbitrary", "arbitrary")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # lengths, page_tables, k_scales, v_scales
-        grid=(batch, kv_heads),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, group, d), lambda b, hk, *_: (b, hk, 0, 0),
-                         memory_space=pltpu.VMEM),
+            qo_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # K pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # V pages
         ],
-        out_specs=pl.BlockSpec((1, 1, group, d), lambda b, hk, *_: (b, hk, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=qo_spec,
         scratch_shapes=scratch,
     )
 
@@ -324,7 +418,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         out_shape=jax.ShapeDtypeStruct((batch, kv_heads, group, d),
                                        compute_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         interpret=interpret,
     )
@@ -336,6 +430,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
 def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
                            mode: str = "dense", k_scales=None, v_scales=None,
                            scale: float | None = None,
+                           int8_compute: bool = False,
                            interpret: bool | None = None):
     """softmax(q K^T * scale) V for one query token over a paged KV cache.
 
@@ -347,6 +442,11 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
       lengths: (batch,) int32 — number of valid KV tokens per sequence.
       page_tables: (batch, pages_per_seq) int32, page ids in order (-1 pad).
       mode: "dense" | "int8" | "int4" | "fp8".
+      int8_compute: int8 pages only — also quantize q per row (exact int8
+        S dot) and P with the constant scale 127 (its row max is exp2(0)),
+        so both MXU dots run at the int8 rate with zero K/V upconverts.
+        The kernel is compute-bound, not DMA-bound; this trades ~0.3%
+        extra attention error for ~1.9x kernel throughput.
       k_scales/v_scales: (n_kv_heads, num_pages) fp32, required for quant modes.
 
     Returns (batch, n_heads, d_head) in q's dtype.
@@ -370,10 +470,13 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
         scale = 1.0 / math.sqrt(d)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if int8_compute and mode != "int8":
+        raise ValueError(f"int8_compute requires mode='int8', got {mode!r}")
 
     fn = _build_decode_call(
         batch, kv_heads, group, d, page_size, pages_per_seq,
         mode, str(k_pages.dtype), str(q.dtype), float(scale), interpret,
+        int8_compute,
     )
     q_g = q.reshape(batch, kv_heads, group, d)
     out = fn(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),

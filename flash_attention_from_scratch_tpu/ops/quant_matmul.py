@@ -447,7 +447,7 @@ def quantize_activations(x, *, qmax: float = 127.0):
 
 
 def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
-                 block_k: int = 512, block_n: int = 2048,
+                 block_k: int = 512, block_n: int | None = None,
                  act_quant: bool = False,
                  n_inner: bool | None = None, interpret: bool | None = None):
     """``x @ W`` with W stored int8/int4, dequant fused into the kernel.
@@ -456,11 +456,12 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     Small/ragged shapes fall back to a fused XLA dequant-matmul (the kernel
     wants MXU-aligned tiles; decode's tiny M is bandwidth-bound either way).
 
-    Default blocks (512 K x 2048 N) are tuned on the 8B decode workload on
-    v5e: the N-dim sweep 512 -> 1024 -> 2048 measured 723 -> 803 -> 811
-    tokens/s end to end (bigger N tiles amortize the per-grid-step ramp of
-    the weight stream; K 1024 regressed slightly). Tiles clamp to the
-    operand, so small layers keep working.
+    Default blocks (512 K x 4096 N at decode m, 2048 N otherwise) are tuned
+    on the 8B decode workload on v5e: the N-dim sweep 512 -> 1024 -> 2048
+    measured 723 -> 803 -> 811 tokens/s end to end, and 2048 -> 4096 moved
+    the W4A8 gate|up stream 726 -> 764 GB/s (bigger N tiles amortize the
+    per-grid-step ramp of the weight stream; K 1024 regressed slightly).
+    Tiles clamp to the operand, so small layers keep working.
 
     ``act_quant=True`` additionally quantizes activations per-row to int8
     and runs int8 x int8 MXU dots with exact int32 accumulation (W8A8 /
@@ -479,6 +480,12 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     if m == 0:
         return jnp.zeros((*lead, n), x.dtype)
     x2 = x.reshape(m, k)
+
+    if block_n is None:
+        # Decode-size m affords wide N tiles (the fp32 accumulator stays
+        # tiny): bn 4096 measured 764 vs 726 GB/s on the W4A8 gate|up
+        # stream. Larger m keeps 2048 to bound accumulator VMEM.
+        block_n = 4096 if m <= 64 else 2048
 
     k_eff = k // 2 if wq.mode == "int4" else k
     bm = _fit_block(block_m, m, 8)

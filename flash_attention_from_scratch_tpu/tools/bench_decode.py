@@ -30,7 +30,8 @@ from ..models.llama import (
     LLAMA3_8B, LlamaConfig, fuse_projections, init_quantized_params,
     init_params,
 )
-from ..utils.chip import device_kind, hbm_gbps
+from ..ops.quant_matmul import QuantizedWeight
+from ..utils.chip import chip_sol_tflops, device_kind, hbm_gbps
 
 __all__ = ["main"]
 
@@ -45,6 +46,24 @@ MODELS = {
 
 def _param_bytes(params):
     return sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
+
+
+def _dense_matmul_params(params) -> int:
+    """Total elements of the dense (streamed-through-the-MXU) weights.
+
+    Everything 2-D except the embedding table (a gather, not a matmul);
+    quantized weights count their logical (K, N), not packed bytes.
+    """
+    rest = {k: v for k, v in params.items() if k != "embed"}
+    leaves = jax.tree_util.tree_flatten(
+        rest, is_leaf=lambda x: isinstance(x, QuantizedWeight))[0]
+    total = 0
+    for leaf in leaves:
+        if isinstance(leaf, QuantizedWeight):
+            total += leaf.shape[0] * leaf.shape[1]
+        elif getattr(leaf, "ndim", 0) == 2:
+            total += leaf.size
+    return total
 
 
 def main(argv=None):
@@ -68,6 +87,9 @@ def main(argv=None):
                     help="run all steps inside one jit (lax.scan): measures "
                          "pure device throughput without per-step dispatch "
                          "(compile cost explodes beyond small models)")
+    ap.add_argument("--attn-int8", action="store_true",
+                    help="int8-compute paged attention: quantized q/P MXU "
+                         "dots, no K/V upconverts (int8 KV only)")
     ap.add_argument("--fuse", action="store_true",
                     help="fuse QKV and gate|up projections into single "
                          "weight streams (models.llama.fuse_projections)")
@@ -104,9 +126,12 @@ def main(argv=None):
     lengths0 = np.full(args.batch, args.context, np.int32)
     tokens = jnp.zeros(args.batch, jnp.int32)
 
+    attn_int8 = bool(args.attn_int8)
+
     def step(cache, lengths):
         logits, cache = decode_step(params, tokens, cfg, cache,
-                                    lengths, tables_j, interpret=False)
+                                    lengths, tables_j, interpret=False,
+                                    attn_int8=attn_int8)
         return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
     if args.scan:
@@ -115,7 +140,7 @@ def main(argv=None):
         def run_n(toks, cache, lengths):
             out, cache, lengths = decode_loop(
                 params, toks, cfg, cache, lengths, tables_j, args.steps,
-                interpret=False)
+                interpret=False, attn_int8=attn_int8)
             return out[:, -1], cache, lengths
 
         carry = (tokens, cache, jnp.asarray(lengths0))
@@ -133,7 +158,8 @@ def main(argv=None):
             for _ in range(args.unroll):
                 lengths = lengths + 1
                 logits, cache = decode_step(params, toks, cfg, cache,
-                                            lengths, tables_j, interpret=False)
+                                            lengths, tables_j, interpret=False,
+                                            attn_int8=attn_int8)
                 toks = jnp.argmax(logits, -1).astype(jnp.int32)
             return toks, cache, lengths
 
@@ -177,10 +203,23 @@ def main(argv=None):
     kv_read = args.batch * mean_ctx * cfg.n_kv_heads * cfg.n_layers * kv_bytes_per_tok
     step_bytes = pbytes + kv_read
     roofline_tps = hbm_gbps() * 1e9 / step_bytes * args.batch
+
+    # MXU bound: a (batch, K) x (K, N) decode dot pads batch to the 128-row
+    # systolic array, so below batch 128 the dense stack costs a fixed
+    # 2 * 128 * sum(K*N) FLOPs-equivalent per step regardless of weight
+    # dtype. At batch 16 / 8B this (~9.7 ms on v5e) EXCEEDS the int4 HBM
+    # stream time — quantized decode at small batch is MXU-padding-bound,
+    # and tokens/s scales with batch until the rows fill.
+    padded_m = max(128, -(-args.batch // 128) * 128)
+    mxu_s = 2.0 * padded_m * _dense_matmul_params(params) / (
+        chip_sol_tflops() * 1e12)
+    hbm_s = step_bytes / (hbm_gbps() * 1e9)
+    bound_s = max(mxu_s, hbm_s)
     print(json.dumps({
         "metric": (f"decode_tokens_per_s_{args.model}_w{args.weights}"
                        + (f"a8" if args.act == "int8" else "")
-                       + f"_kv{args.kv}"),
+                       + f"_kv{args.kv}"
+                       + ("i8" if attn_int8 else "")),
         "value": round(tps, 2),
         "unit": "tokens/s/chip",
         "ms_per_step": round(ms_per_step, 3),
@@ -189,6 +228,10 @@ def main(argv=None):
         "tokens_per_s_per_seq": round(tps / args.batch, 2),
         "hbm_roofline_tokens_per_s": round(roofline_tps, 2),
         "pct_of_roofline": round(100 * tps / roofline_tps, 2),
+        "hbm_bound_ms": round(hbm_s * 1e3, 3),
+        "mxu_bound_ms": round(mxu_s * 1e3, 3),
+        "binding_constraint": "mxu_padding" if mxu_s > hbm_s else "hbm",
+        "pct_of_bound": round(100 * bound_s / (dt / args.steps), 2),
         "param_gb": round(pbytes / 1e9, 3),
         "cache_gb": round(cbytes / 1e9, 3),
         "device": device_kind(),

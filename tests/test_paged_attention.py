@@ -92,6 +92,62 @@ def test_paged_decode_quantized(mode):
     assert err < tol, f"{mode}: {float(err)}"
 
 
+def test_paged_decode_int8_compute():
+    """int8-compute mode (quantized q and P MXU dots) vs the dense oracle."""
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv_pages
+
+    lengths = [256, 129, 1]
+    batch, kv_heads, heads, d, page_size, num_pages = 3, 2, 8, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
+
+    kq, ks = quantize_kv_pages(k_pages, "int8")
+    vq, vs = quantize_kv_pages(v_pages, "int8")
+    out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                 mode="int8", k_scales=ks, v_scales=vs,
+                                 int8_compute=True)
+    ref = _dense_reference(q, k_dense, v_dense, lengths)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    # int8 KV (~0.06) plus the q/P quantization adds a small extra budget.
+    assert err < 0.09, float(err)
+
+    exact = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                   mode="int8", k_scales=ks, v_scales=vs)
+    drift = jnp.max(jnp.abs(out.astype(jnp.float32)
+                            - exact.astype(jnp.float32)))
+    assert drift < 0.05, float(drift)
+
+    with pytest.raises(ValueError, match="int8_compute"):
+        paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths), pt,
+                               int8_compute=True)
+
+
+def test_paged_decode_int8_compute_loop_variant(monkeypatch):
+    """int8-compute through the per-page online-softmax fallback."""
+    import flash_attention_from_scratch_tpu.ops.paged_attention as pa
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv_pages
+
+    monkeypatch.setattr(pa, "_FULL_VARIANT_VMEM_CAP", 0)
+    pa._build_decode_call.cache_clear()
+    lengths = [256, 128]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 8, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size, num_pages, d)
+    kq, ks = quantize_kv_pages(k_pages, "int8")
+    vq, vs = quantize_kv_pages(v_pages, "int8")
+    out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                 mode="int8", k_scales=ks, v_scales=vs,
+                                 int8_compute=True)
+    ref = _dense_reference(q, k_dense, v_dense, lengths)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 0.09, float(err)
+    pa._build_decode_call.cache_clear()
+
+
 @pytest.mark.parametrize("mode", ["dense", "int8", "int4"])
 def test_paged_decode_loop_variant(mode, monkeypatch):
     """Force the per-page online-softmax fallback (long-window path)."""
