@@ -63,10 +63,15 @@ class GenerationServer:
                  page_size: int, max_batch: int,
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
-                 chunk: int = 1, interpret: Optional[bool] = None):
+                 chunk: int = 1, attn_int8: bool = False,
+                 interpret: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.mode = mode
+        if attn_int8 and mode != "int8":
+            raise ValueError(
+                f"attn_int8 requires an int8 KV cache; mode={mode!r}")
+        self.attn_int8 = attn_int8
         self.interpret = interpret
         self.pages_per_seq = pages_per_seq or (num_pages - 1)
         self.engine = PagedEngine(num_pages - 1, page_size, max_batch,
@@ -269,6 +274,7 @@ class GenerationServer:
             jnp.asarray(lengths), jnp.asarray(tables), n,
             row_keys=row_keys, pos0=pos0, temperature=self.temperature,
             top_k=self.top_k, interpret=self.interpret,
+            attn_int8=self.attn_int8,
         )
         out = np.asarray(out)
         for i, r in enumerate(decode_rows):
@@ -285,7 +291,7 @@ class GenerationServer:
         logits, self.cache = decode_step(
             self.params, jnp.asarray(tokens), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables),
-            interpret=self.interpret,
+            interpret=self.interpret, attn_int8=self.attn_int8,
         )
         # One device->host readback for the whole batch: a per-row
         # int(pick(...)) costs a full tunnel fence per TOKEN (~200 ms/step

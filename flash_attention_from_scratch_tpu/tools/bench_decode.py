@@ -31,7 +31,7 @@ from ..models.llama import (
     init_params,
 )
 from ..ops.quant_matmul import QuantizedWeight
-from ..utils.chip import chip_sol_tflops, device_kind, hbm_gbps
+from ..utils.chip import chip_int8_tops, chip_sol_tflops, device_kind, hbm_gbps
 
 __all__ = ["main"]
 
@@ -206,13 +206,16 @@ def main(argv=None):
 
     # MXU bound: a (batch, K) x (K, N) decode dot pads batch to the 128-row
     # systolic array, so below batch 128 the dense stack costs a fixed
-    # 2 * 128 * sum(K*N) FLOPs-equivalent per step regardless of weight
-    # dtype. At batch 16 / 8B this (~9.7 ms on v5e) EXCEEDS the int4 HBM
-    # stream time — quantized decode at small batch is MXU-padding-bound,
-    # and tokens/s scales with batch until the rows fill.
+    # 2 * 128 * sum(K*N) ops per step regardless of weight dtype. W8A8/W4A8
+    # issue int8 x int8 dots, which the v5e MXU runs at ~2x the bf16 rate
+    # (255 TOP/s measured vs the 187 bf16 ceiling) — so the padding bound
+    # uses the int8 peak when activations are quantized. At batch 16 / 8B
+    # that's ~4.9 ms vs a 7.2 ms int4 HBM stream: the stream binds, and
+    # tokens/s scales with batch until the 128 rows fill.
     padded_m = max(128, -(-args.batch // 128) * 128)
-    mxu_s = 2.0 * padded_m * _dense_matmul_params(params) / (
-        chip_sol_tflops() * 1e12)
+    mxu_rate = (chip_int8_tops() if args.act == "int8"
+                else chip_sol_tflops())
+    mxu_s = 2.0 * padded_m * _dense_matmul_params(params) / (mxu_rate * 1e12)
     hbm_s = step_bytes / (hbm_gbps() * 1e9)
     bound_s = max(mxu_s, hbm_s)
     print(json.dumps({

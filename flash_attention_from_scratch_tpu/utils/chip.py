@@ -13,16 +13,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["chip_sol_tflops", "device_kind", "measured_matmul_tflops", "hbm_gbps"]
+__all__ = ["chip_sol_tflops", "chip_int8_tops", "device_kind",
+           "measured_matmul_tflops", "hbm_gbps"]
 
-# Nominal bf16 MXU peaks (TFLOP/s) and HBM bandwidth (GB/s) by device kind.
+# Nominal (bf16 MXU peak TFLOP/s, int8 MXU peak TOP/s, HBM GB/s) by device
+# kind. int8 runs the systolic array at 2x the bf16 rate on v5e+ (measured
+# on this v5e: 255 TOP/s sustained on an 8192^3 int8 dot vs the 187 bf16
+# ceiling); v4 has no int8 fast path.
 _CHIP_TABLE = {
-    "v5 lite": (197.0, 819.0),   # v5e
-    "v5e": (197.0, 819.0),
-    "v5p": (459.0, 2765.0),
-    "v4": (275.0, 1228.0),
-    "v6 lite": (918.0, 1640.0),  # v6e / Trillium
-    "v6e": (918.0, 1640.0),
+    "v5 lite": (197.0, 394.0, 819.0),   # v5e
+    "v5e": (197.0, 394.0, 819.0),
+    "v5p": (459.0, 918.0, 2765.0),
+    "v4": (275.0, 275.0, 1228.0),
+    "v6 lite": (918.0, 1836.0, 1640.0),  # v6e / Trillium
+    "v6e": (918.0, 1836.0, 1640.0),
 }
 
 
@@ -47,15 +51,20 @@ def _lookup():
             f"constants — %-of-SoL numbers will be wrong for other chips",
             stacklevel=3)
         _warned_unknown = True
-    return (197.0, 819.0)
+    return (197.0, 394.0, 819.0)
 
 
 def chip_sol_tflops() -> float:
     return _lookup()[0]
 
 
-def hbm_gbps() -> float:
+def chip_int8_tops() -> float:
+    """Nominal int8 MXU peak (TOP/s)."""
     return _lookup()[1]
+
+
+def hbm_gbps() -> float:
+    return _lookup()[2]
 
 
 @functools.lru_cache(maxsize=1)

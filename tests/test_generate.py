@@ -71,6 +71,25 @@ def test_server_matches_naive(params, mode):
         _check_greedy_path(params, p, got[sid], slack)
 
 
+def test_server_attn_int8(params):
+    """int8-compute attention through the full serving loop (chunked)."""
+    prompts = {1: list(range(10, 30)), 2: list(range(40, 45))}
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=2, pages_per_seq=8, mode="int8",
+                              attn_int8=True, chunk=4)
+    for sid, p in prompts.items():
+        server.submit(sid, p, 6)
+    got = server.run()
+    # q/P quantization adds a little on top of the int8-KV logit slack.
+    for sid, p in prompts.items():
+        assert len(got[sid]) == 6, (sid, got[sid])
+        _check_greedy_path(params, p, got[sid], 0.5)
+
+    with pytest.raises(ValueError, match="attn_int8"):
+        GenerationServer(params, CFG, num_pages=32, page_size=64,
+                         max_batch=2, attn_int8=True)
+
+
 def test_sampled_generation_runs(params):
     """Temperature sampling: correct lengths, valid token range."""
     server = GenerationServer(params, CFG, num_pages=16, page_size=64,
