@@ -286,12 +286,23 @@ def _mlp(layer, x):
 
 def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
     """tokens (batch, seq) int32 -> logits (batch, seq, vocab) fp32."""
-    x = params["embed"][tokens]
+    pin = lambda x: x  # noqa: E731
+    if mesh is not None:
+        from ..parallel.mesh import MODEL_AXIS, pin_residual
+
+        if MODEL_AXIS in mesh.axis_names:
+            # Residual stays model-axis-replicated: one all-reduce after each
+            # row-parallel matmul instead of per-consumer all-gathers (see
+            # parallel.mesh.pin_residual). dp/sp placements pass through.
+            import functools as _ft
+
+            pin = _ft.partial(pin_residual, mesh=mesh, seq_dim=1)
+    x = pin(params["embed"][tokens])
     cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta)
     for layer in params["layers"]:
-        x = x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                           cfg, cos, sin, interpret=interpret, mesh=mesh)
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+        x = pin(x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
+                               cfg, cos, sin, interpret=interpret, mesh=mesh))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32)
 

@@ -106,14 +106,14 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
 
         interp = jax.devices()[0].platform == "cpu" or \
             mesh.devices.flat[0].platform == "cpu"
+        param_bytes_dev = _device_bytes(p_sh)
         lowered = decode_step.lower(p_sh, tokens, cfg, cache, lengths,
                                     tables, interpret=interp, mesh=mesh)
         compiled = lowered.compile()
-        logits, _ = decode_step(p_sh, tokens, cfg, cache, lengths, tables,
-                                interpret=interp, mesh=mesh)
+        # Execute through the compiled object — one compile per tp, and the
+        # run is the same executable whose HLO the collectives are read from.
+        logits, _ = compiled(p_sh, tokens, cache, lengths, tables)
         jax.block_until_ready(logits)
-
-        param_bytes_dev = _device_bytes(p_sh)
         kv_window = (batch * context * cfg.n_kv_heads * cfg.n_layers
                      * 2 * cfg.d_head
                      * (1 if kv in ("int8", "fp8") else 2)) // tp
