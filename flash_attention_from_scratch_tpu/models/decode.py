@@ -193,25 +193,38 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
     return cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "interpret"),
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "interpret",
+                                             "mesh"),
                    donate_argnames=("cache",))
 def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             page_table, prompt_len: Optional[int] = None,
-            interpret: Optional[bool] = None):
+            interpret: Optional[bool] = None, mesh=None):
     """Run one prompt (1, padded_len) through the model, filling its pages.
 
     ``tokens`` may be right-padded so the flash kernel's block constraint
     (multiple of 128) holds; ``prompt_len`` is the true length — only its
     K/V rows are scattered into pages and the returned logits are the
     position ``prompt_len - 1`` row. Returns (logits (vocab,) fp32, cache).
+
+    With ``mesh``, the prompt runs tensor-parallel: heads shard over the
+    model axis through ``shard_mapped_attention`` (same split as the
+    decode path) and the residual is pinned replicated after each
+    row-parallel matmul.
     """
     from .llama import flash_attention
+
+    pin = lambda x: x  # noqa: E731
+    if mesh is not None:
+        from ..parallel.mesh import pin_residual
+        from ..parallel.sharded_attention import shard_mapped_attention
+
+        pin = functools.partial(pin_residual, mesh=mesh)
 
     cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
                                 v_pages=list(cache.v_pages),
                                 k_scales=list(cache.k_scales),
                                 v_scales=list(cache.v_scales))
-    x = params["embed"][tokens]  # (1, s_pad, dim)
+    x = pin(params["embed"][tokens])  # (1, s_pad, dim)
     s = tokens.shape[1]
     prompt_len = prompt_len or s
     cos, sin = rope_tables(s, cfg.d_head, cfg.rope_theta)
@@ -224,10 +237,14 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         v = v.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
+        if mesh is not None:
+            out = shard_mapped_attention(q, k, v, cfg.attn_config(s), mesh,
+                                         interpret)
+        else:
+            out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-        x = x + _mm(out, layer["wo"])
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
         # Causality makes rows [0, prompt_len) independent of the padding
         # rows, so scattering just those rows keeps the cache exact.
         cache = _write_prompt_layer(cache, li, k[0, :, :prompt_len],

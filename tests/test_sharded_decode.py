@@ -71,3 +71,40 @@ def test_tp_decode_matches_single(cpu_mesh_devices):
     # The sharded cache must have recorded the same new K/V rows.
     for a, b in zip(cache_tp.k_pages, cache.k_pages):
         assert a.shape == b.shape
+
+
+def test_tp_prefill_matches_single(cpu_mesh_devices):
+    """prefill(mesh=...): TP prompt pass fills the same pages and logits."""
+    mesh = make_mesh(1, 2, devices=cpu_mesh_devices[:2])
+    params = init_params(CFG, jax.random.PRNGKey(0))
+
+    prompt = np.zeros((1, 128), np.int32)
+    prompt[0, :20] = np.arange(20) % 128
+    pt = np.full(4, -1, np.int32)
+    pt[:2] = [0, 1]
+
+    cache = init_cache(CFG, num_pages=8, page_size=64)
+    logits0, cache0 = prefill(params, jnp.asarray(prompt), CFG, cache,
+                              jnp.asarray(pt), prompt_len=20, interpret=True)
+
+    sharded_params = shard_params(params, mesh)
+    cache_tp = _shard_cache(init_cache(CFG, num_pages=8, page_size=64), mesh)
+    with mesh:
+        logits_tp, cache_tp = prefill(
+            sharded_params, jnp.asarray(prompt), CFG, cache_tp,
+            jnp.asarray(pt), prompt_len=20, interpret=True, mesh=mesh)
+
+    err = float(jnp.max(jnp.abs(logits_tp - logits0)))
+    assert err < 6e-2, err
+    # The written K rows (pages 0-1, first 20 slots) must match.
+    k_tp = np.asarray(jax.device_get(cache_tp.k_pages[0]), np.float32)
+    k0 = np.asarray(cache0.k_pages[0], np.float32)
+    assert np.max(np.abs(k_tp[:, :2] - k0[:, :2])) < 3e-2
+    # TP decode continues from the TP-prefilled cache.
+    tokens = jnp.asarray([int(jnp.argmax(logits_tp))], jnp.int32)
+    with mesh:
+        logits_d, _ = decode_step(sharded_params, tokens, CFG, cache_tp,
+                                  jnp.asarray([21], jnp.int32),
+                                  jnp.asarray(pt)[None, :], interpret=True,
+                                  mesh=mesh)
+    assert np.isfinite(np.asarray(logits_d, np.float32)).all()
