@@ -63,15 +63,28 @@ class GenerationServer:
                  page_size: int, max_batch: int,
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
-                 chunk: int = 1, attn_int8: bool = False,
+                 chunk: int = 1, attn_int8: bool = False, mesh=None,
                  interpret: Optional[bool] = None):
-        self.params = params
         self.cfg = cfg
         self.mode = mode
         if attn_int8 and mode != "int8":
             raise ValueError(
                 f"attn_int8 requires an int8 KV cache; mode={mode!r}")
         self.attn_int8 = attn_int8
+        self.mesh = mesh
+        if mesh is not None:
+            # Tensor-parallel serving: megatron param split + KV pools
+            # sharded over kv-heads, matching prefill/decode_step(mesh=...).
+            from ..parallel.mesh import MODEL_AXIS, shard_params
+
+            tp = mesh.shape.get(MODEL_AXIS, 1)
+            if cfg.n_kv_heads % tp:
+                raise ValueError(
+                    f"tensor-parallel serving shards KV heads over "
+                    f"{MODEL_AXIS}={tp}, but n_kv_heads={cfg.n_kv_heads} "
+                    f"is not divisible")
+            params = shard_params(params, mesh)
+        self.params = params
         self.interpret = interpret
         self.pages_per_seq = pages_per_seq or (num_pages - 1)
         self.engine = PagedEngine(num_pages - 1, page_size, max_batch,
@@ -80,6 +93,20 @@ class GenerationServer:
         self.max_batch = max_batch
         self.page_size = page_size
         self.cache = init_cache(cfg, num_pages, page_size, mode)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import MODEL_AXIS
+
+            pool = NamedSharding(mesh, P(MODEL_AXIS, None, None, None))
+            sc = NamedSharding(mesh, P(MODEL_AXIS, None))
+            self.cache = dataclasses.replace(
+                self.cache,
+                k_pages=[jax.device_put(x, pool) for x in self.cache.k_pages],
+                v_pages=[jax.device_put(x, pool) for x in self.cache.v_pages],
+                k_scales=[jax.device_put(x, sc) for x in self.cache.k_scales],
+                v_scales=[jax.device_put(x, sc) for x in self.cache.v_scales],
+            )
         self.seqs: dict[int, _SeqState] = {}
         self.steps = 0
         self.decode_tokens = 0
@@ -144,6 +171,7 @@ class GenerationServer:
                     self.params, jnp.asarray(padded)[None, :], self.cfg,
                     self.cache, jnp.asarray(batch.page_tables[row]),
                     prompt_len=len(st.prompt), interpret=self.interpret,
+                    mesh=self.mesh,
                 )
                 pending.append((sid, self._pick(logits, sid)))
                 st.prefilled = True
@@ -274,7 +302,7 @@ class GenerationServer:
             jnp.asarray(lengths), jnp.asarray(tables), n,
             row_keys=row_keys, pos0=pos0, temperature=self.temperature,
             top_k=self.top_k, interpret=self.interpret,
-            attn_int8=self.attn_int8,
+            attn_int8=self.attn_int8, mesh=self.mesh,
         )
         out = np.asarray(out)
         for i, r in enumerate(decode_rows):
@@ -292,6 +320,7 @@ class GenerationServer:
             self.params, jnp.asarray(tokens), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables),
             interpret=self.interpret, attn_int8=self.attn_int8,
+            mesh=self.mesh,
         )
         # One device->host readback for the whole batch: a per-row
         # int(pick(...)) costs a full tunnel fence per TOKEN (~200 ms/step

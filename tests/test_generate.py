@@ -90,6 +90,46 @@ def test_server_attn_int8(params):
                          max_batch=2, attn_int8=True)
 
 
+def test_server_tensor_parallel():
+    """Full serving loop tensor-parallel over a 2-device mesh."""
+    from flash_attention_from_scratch_tpu.parallel.mesh import make_mesh
+
+    # CFG has a single KV head (deliberately, for GQA coverage) — TP serving
+    # shards KV heads, so use a 2-head config here.
+    cfg2 = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                       n_kv_heads=2, d_head=128, hidden_dim=256,
+                       block_q=128, block_kv=128)
+    params2 = init_params(cfg2, jax.random.PRNGKey(1))
+    mesh = make_mesh(1, 2, devices=jax.devices("cpu")[:2])
+    prompts = {1: list(range(10, 30)), 2: list(range(40, 45))}
+    server = GenerationServer(params2, cfg2, num_pages=32, page_size=64,
+                              max_batch=2, pages_per_seq=8, mesh=mesh)
+    for sid, p in prompts.items():
+        server.submit(sid, p, 5)
+    got = server.run()
+    # TP only reorders matmul reductions; greedy tokens on a random tiny
+    # model can tie within bf16 noise, so teacher-force instead of equality.
+    def naive_logits2(tokens):
+        s = len(tokens)
+        pad = s + (-s) % 128
+        arr = np.zeros((1, pad), np.int32)
+        arr[0, :s] = tokens
+        return forward(params2, jnp.asarray(arr), cfg2)[0, s - 1]
+
+    for sid, p in prompts.items():
+        assert len(got[sid]) == 5
+        toks = list(p)
+        for g in got[sid]:
+            logits = naive_logits2(toks)
+            gap = float(logits.max() - logits[g])
+            assert gap <= 0.1, (sid, toks, g, gap)
+            toks.append(g)
+
+    with pytest.raises(ValueError, match="n_kv_heads"):
+        GenerationServer(init_params(CFG, jax.random.PRNGKey(0)), CFG,
+                         num_pages=32, page_size=64, max_batch=2, mesh=mesh)
+
+
 def test_sampled_generation_runs(params):
     """Temperature sampling: correct lengths, valid token range."""
     server = GenerationServer(params, CFG, num_pages=16, page_size=64,
