@@ -318,13 +318,14 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                                 v_scales=list(cache.v_scales))
     batch = tokens.shape[0]
     ps = cache.page_size
-    x = params["embed"][tokens][:, None, :]  # (batch, 1, dim)
+    pin = lambda x: x  # noqa: E731
     if mesh is not None:
-        # The embed table is dim-sharded; replicate the looked-up rows once
-        # here or layer 0's three QKV dots each all-gather them separately.
         from ..parallel.mesh import pin_residual
 
-        x = pin_residual(x, mesh)
+        pin = functools.partial(pin_residual, mesh=mesh)
+    # The embed table is dim-sharded; replicate the looked-up rows once here
+    # or layer 0's three QKV dots each all-gather them separately.
+    x = pin(params["embed"][tokens][:, None, :])  # (batch, 1, dim)
     pos = lengths - 1  # position of the current token
 
     # Per-sequence rope rows, broadcast over heads.
@@ -408,16 +409,10 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             attn_int8=attn_int8,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
-        x = x + _mm(out, layer["wo"])
-        if mesh is not None:
-            # wo/w_down are row-parallel: pin the residual so their partial
-            # products all-reduce HERE once (see parallel.mesh.pin_residual).
-            from ..parallel.mesh import pin_residual
-
-            x = pin_residual(x, mesh)
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
-        if mesh is not None:
-            x = pin_residual(x, mesh)
+        # wo/w_down are row-parallel: pin the residual so their partial
+        # products all-reduce HERE once (see parallel.mesh.pin_residual).
+        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)

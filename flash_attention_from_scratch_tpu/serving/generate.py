@@ -75,7 +75,7 @@ class GenerationServer:
         if mesh is not None:
             # Tensor-parallel serving: megatron param split + KV pools
             # sharded over kv-heads, matching prefill/decode_step(mesh=...).
-            from ..parallel.mesh import MODEL_AXIS, shard_params
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, shard_params
 
             tp = mesh.shape.get(MODEL_AXIS, 1)
             if cfg.n_kv_heads % tp:
@@ -83,6 +83,13 @@ class GenerationServer:
                     f"tensor-parallel serving shards KV heads over "
                     f"{MODEL_AXIS}={tp}, but n_kv_heads={cfg.n_kv_heads} "
                     f"is not divisible")
+            if mesh.shape.get(DATA_AXIS, 1) > 1:
+                # Prefill runs one (batch=1) prompt at a time — a dp axis
+                # would ask shard_map to split that batch and crash deep in
+                # jit; fail here with the reason instead.
+                raise ValueError(
+                    f"serving mesh must have {DATA_AXIS}=1 (prefill is "
+                    f"single-prompt); got {mesh.shape}")
             params = shard_params(params, mesh)
         self.params = params
         self.interpret = interpret

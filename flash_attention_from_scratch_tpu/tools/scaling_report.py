@@ -61,7 +61,10 @@ def _collective_counts(hlo_text: str) -> dict:
     counts = {}
     for op in ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all"):
-        counts[op] = hlo_text.count(f" {op}")
+        # Match the op's call paren: async lowering emits {op}-start /
+        # {op}-done pairs, which a bare substring would double-count.
+        counts[op] = (hlo_text.count(f" {op}(")
+                      + hlo_text.count(f" {op}-start("))
     return counts
 
 
@@ -73,6 +76,10 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
     """One report row per tp degree. Executes each step once for real."""
     if hbm_gbps_val is None:
         hbm_gbps_val = hbm_gbps()
+    tps = sorted(tps)
+    if single_chip_ms is not None and tps[0] != 1:
+        raise ValueError("single_chip_ms anchors projections on a tp=1 "
+                         "measurement; include 1 in tps")
     rows = []
     pages_per_seq = -(-(context + 8) // page_size)
     num_pages = batch * pages_per_seq + 1
@@ -114,9 +121,9 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
         # run is the same executable whose HLO the collectives are read from.
         logits, _ = compiled(p_sh, tokens, cache, lengths, tables)
         jax.block_until_ready(logits)
-        kv_window = (batch * context * cfg.n_kv_heads * cfg.n_layers
-                     * 2 * cfg.d_head
-                     * (1 if kv in ("int8", "fp8") else 2)) // tp
+        kv_elem_bytes = {"int8": 1.0, "fp8": 1.0, "int4": 0.5}.get(kv, 2.0)
+        kv_window = int(batch * context * cfg.n_kv_heads * cfg.n_layers
+                        * 2 * cfg.d_head * kv_elem_bytes) // tp
         step_bytes_dev = param_bytes_dev + kv_window
         colls = _collective_counts(compiled.as_text())
 
@@ -131,8 +138,9 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
         }
         rows.append(row)
 
-    # Projections off the tp=1 row: HBM time scales with measured bytes;
-    # ICI adds 2 activation all-reduces per layer (Megatron pattern).
+    # Projections off the smallest-tp row (tp=1 when single_chip_ms is
+    # given): HBM time scales with measured bytes; ICI adds 2 activation
+    # all-reduces per layer (Megatron pattern).
     base = rows[0]
     for row in rows:
         tp = row["tp"]
@@ -163,8 +171,9 @@ def main(argv=None):
     ap.add_argument("--model", default="1b")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--context", type=int, default=1024)
-    ap.add_argument("--weights", default="int8",
-                    choices=["int8", "int4", "bf16"])
+    # int4 is not offered: row-parallel (wo/w_down) packed-int4 sharding
+    # would split the K-dim nibble pairing (shard_params raises).
+    ap.add_argument("--weights", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--kv", default="int8", choices=["dense", "int8", "int4"])
     ap.add_argument("--tps", default="1,2,4,8")
     ap.add_argument("--single-chip-ms", type=float, default=None,
@@ -176,6 +185,12 @@ def main(argv=None):
 
     cfg = MODELS[args.model]
     tps = tuple(int(t) for t in args.tps.split(","))
+    n_dev = max(len(jax.devices()), len(jax.devices("cpu")))
+    if max(tps) > n_dev:
+        raise SystemExit(
+            f"need {max(tps)} devices for --tps but only {n_dev} exist; "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{max(tps)} (before python starts) for a virtual CPU mesh")
     rows = tp_decode_report(cfg, tps, batch=args.batch, context=args.context,
                             weights=args.weights, kv=args.kv,
                             single_chip_ms=args.single_chip_ms)

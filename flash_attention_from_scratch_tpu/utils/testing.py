@@ -86,12 +86,14 @@ def adaptive_tolerance_check(out, ref_native, ref_fp32, factor: float = 2.0):
     At small test sizes the rule degenerates: the native-vs-fp32 baseline
     error is ~1 output ulp while any correctly-rounded fused kernel sits at
     1-2 ulps, so the pure ratio test flips on quantization noise. We floor
-    the bound at ``factor`` ulps of the output's max magnitude, scaled by
-    sqrt of the accumulation length: for fp32 inputs the baseline error is
+    the bound at ``factor`` ulps of the output's max magnitude. A second
+    floor covers exact-dtype runs: for fp32 inputs the baseline error is
     *exactly zero* (both references run in fp32) and the only difference
-    left is summation order, whose error grows ~ eps * sqrt(L) over the L
-    softmax(QK)V terms. At the reference's production shapes (seq 2048+,
-    16-bit dtypes) the relative rule dominates either way.
+    left is summation order in the fp32 accumulator, whose error grows
+    ~ eps_fp32 * sqrt(L) over the L softmax(QK)V terms — this term uses the
+    fp32 eps, NOT the storage dtype's (a bf16-eps sqrt(L) floor would be
+    ~0.7 * max|ref| at seq 2048, i.e. vacuous). For 16-bit dtypes at
+    production shapes the relative rule dominates both floors.
     """
     import math
 
@@ -100,8 +102,10 @@ def adaptive_tolerance_check(out, ref_native, ref_fp32, factor: float = 2.0):
         jnp.max(jnp.abs(ref_native.astype(jnp.float32) - ref_fp32.astype(jnp.float32)))
     )
     eps = float(jnp.finfo(ref_native.dtype).eps)
+    eps32 = float(jnp.finfo(jnp.float32).eps)
+    ref_mag = float(jnp.max(jnp.abs(ref_fp32)))
     n_acc = out.shape[-2] if out.ndim >= 2 else 1
-    ulp_floor = (factor * eps * float(jnp.max(jnp.abs(ref_fp32)))
-                 * math.sqrt(n_acc))
-    bound = max(factor * baseline_err, ulp_floor, 1e-6)
+    ulp_floor = factor * eps * ref_mag
+    order_floor = factor * eps32 * ref_mag * math.sqrt(n_acc)
+    bound = max(factor * baseline_err, ulp_floor, order_floor, 1e-6)
     return kernel_err <= bound, kernel_err, baseline_err
