@@ -28,11 +28,29 @@ import jax.numpy as jnp
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import (
-    LlamaConfig, _mlp, _mm, _qkv, apply_rope, rms_norm, rope_tables,
+    LlamaConfig, _mlp as _dense_mlp, _mm, _qkv, apply_rope, rms_norm,
+    rope_tables,
 )
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step",
            "decode_loop", "greedy_token", "sample_token"]
+
+
+def _mlp(layer, h, cfg):
+    """Dense SwiGLU, or routed experts when the layer carries them.
+
+    MoE decode reuses the training dispatch (models.moe._moe_mlp) on the
+    (batch, 1, dim) token batch: the whole running batch routes together,
+    so per-expert capacity is max(8, ~top_k*batch/E) — standard batch-level
+    capacity decoding. The router aux loss is discarded at inference.
+    """
+    if "experts" in layer:
+        from .moe import _moe_mlp
+
+        out, _aux = _moe_mlp(cfg, layer, h)
+        return out
+    return _dense_mlp(layer, h)
+
 
 _QMAX = {"int8": 127.0, "int4": 7.0, "fp8": 448.0}
 
@@ -244,7 +262,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
         x = pin(x + _mm(out, layer["wo"]))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
         # Causality makes rows [0, prompt_len) independent of the padding
         # rows, so scattering just those rows keeps the cache exact.
         cache = _write_prompt_layer(cache, li, k[0, :, :prompt_len],
@@ -412,7 +430,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         # wo/w_down are row-parallel: pin the residual so their partial
         # products all-reduce HERE once (see parallel.mesh.pin_residual).
         x = pin(x + _mm(out, layer["wo"]))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
