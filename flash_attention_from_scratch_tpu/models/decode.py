@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.configs import KernelConfig
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import (
@@ -32,8 +33,8 @@ from .llama import (
     rope_tables,
 )
 
-__all__ = ["PagedKVCache", "init_cache", "prefill", "decode_step",
-           "decode_loop", "greedy_token", "sample_token"]
+__all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
+           "decode_step", "decode_loop", "greedy_token", "sample_token"]
 
 
 def _mlp(layer, h, cfg):
@@ -138,22 +139,29 @@ def _head_scale(x, mode: str):
 
 
 def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
-                        prompt_len: int):
+                        prompt_len: int, page0: int = 0):
     """Scatter one sequence's prompt K/V (kv_heads, prompt_len, d) into pages.
 
-    For quantized caches the per-head scale is calibrated from this prompt
-    (decode steps inherit it via the sequence's pages) and written to the
-    scale entries of exactly the pages the prompt occupies.
+    ``page0``: first page-table slot written (chunked prefill writes chunk c
+    starting at slot c * chunk_tokens / page_size; ``prompt_len`` is then
+    the chunk's row count). For quantized caches the per-head scale is
+    calibrated from the rows written at page0 == 0 and *inherited* from the
+    sequence's first page by later chunks — the same scheme decode uses —
+    so every page the sequence occupies carries one consistent scale.
     """
     ps = cache.page_size
     n_used = -(-prompt_len // ps)  # static: only touch real pages, not -1 pad
 
     if cache.mode != "dense":
-        ks = _head_scale(k, cache.mode)  # (kv_heads,)
-        vs = _head_scale(v, cache.mode)
+        if page0 == 0:
+            ks = _head_scale(k, cache.mode)  # (kv_heads,)
+            vs = _head_scale(v, cache.mode)
+        else:
+            ks = cache.k_scales[li][:, page_table[0]]
+            vs = cache.v_scales[li][:, page_table[0]]
         k = _quantize_rows(k, ks[:, None, None], cache.mode)
         v = _quantize_rows(v, vs[:, None, None], cache.mode)
-        used = page_table[:n_used]
+        used = page_table[page0:page0 + n_used]
         cache.k_scales[li] = cache.k_scales[li].at[:, used].set(
             jnp.broadcast_to(ks[:, None], (ks.shape[0], n_used)))
         cache.v_scales[li] = cache.v_scales[li].at[:, used].set(
@@ -180,7 +188,7 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
             for p in range(n_used):
                 pages = jax.lax.dynamic_update_slice(
                     pages, packed[:, p][:, None],
-                    (0, page_table[p], 0, 0))
+                    (0, page_table[page0 + p], 0, 0))
             return pages
 
         cache.k_pages[li] = scatter4(cache.k_pages[li], k)
@@ -203,7 +211,7 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
         by_page = padded.reshape(kvh, n_used, ps, d)
         for p in range(n_used):
             pages = jax.lax.dynamic_update_slice(
-                pages, by_page[:, p][:, None], (0, page_table[p], 0, 0))
+                pages, by_page[:, p][:, None], (0, page_table[page0 + p], 0, 0))
         return pages
 
     cache.k_pages[li] = scatter(cache.k_pages[li], k)
@@ -270,6 +278,161 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x[:, prompt_len - 1], params["lm_head"]).astype(jnp.float32)
     return logits[0], cache
+
+
+def _gather_prefix(cache: PagedKVCache, li: int, page_table, start: int,
+                   compute_dtype):
+    """Read the first ``start`` cached tokens back as dense K/V.
+
+    Chunked prefill attends each chunk against [prefix | chunk]; the prefix
+    comes from the pages earlier chunks wrote — dequantized exactly the way
+    decode will later see it (quantized caches round once at write time).
+    Returns (k, v), each (kv_heads, start, d_head) in ``compute_dtype``.
+    """
+    ps = cache.page_size
+    n = -(-start // ps)
+    idx = page_table[:n]
+
+    def read(pages, scales):
+        got = pages[:, idx]  # (kv_heads, n, rows, d) — gather of n pages
+        if cache.mode == KVQuantMode.INT4:
+            from ..ops.quant import unpack_int4_halves
+
+            lo, hi = unpack_int4_halves(got, compute_dtype)
+            got = jnp.concatenate([lo, hi], axis=2)  # token order per page
+        elif cache.mode != "dense":
+            got = got.astype(compute_dtype)
+        if cache.mode != "dense":
+            sc = scales[:, idx]  # (kv_heads, n)
+            got = got * sc[:, :, None, None].astype(compute_dtype)
+        kvh, _, _, d = got.shape
+        return got.reshape(kvh, n * ps, d)[:, :start].astype(compute_dtype)
+
+    return (read(cache.k_pages[li], cache.k_scales[li]),
+            read(cache.v_pages[li], cache.v_scales[li]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "start", "write_len",
+                                             "want_logit_row", "interpret"),
+                   donate_argnames=("cache",))
+def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
+                       cache: PagedKVCache, page_table, start: int,
+                       write_len: int, want_logit_row: int,
+                       interpret: Optional[bool] = None):
+    """One chunk of a chunked prompt pass (see :func:`prefill_chunked`).
+
+    tokens_chunk: (1, chunk_len) — rows [0, write_len) are real.
+    Attention runs offset-causal over [prefix | chunk] with
+    ``KernelConfig.q_offset = start``; prefix K/V stream back from the
+    cache pages. Returns (logits (vocab,) fp32 at want_logit_row — or
+    zeros when want_logit_row < 0 — and the updated cache).
+    """
+    from .llama import flash_attention
+
+    cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
+                                v_pages=list(cache.v_pages),
+                                k_scales=list(cache.k_scales),
+                                v_scales=list(cache.v_scales))
+    x = params["embed"][tokens_chunk]  # (1, c, dim)
+    c = tokens_chunk.shape[1]
+    compute_dtype = cfg.dtype.jnp_dtype
+    cos, sin = rope_tables(start + c, cfg.d_head, cfg.rope_theta)
+    cos, sin = cos[start:], sin[start:]
+
+    def chunk_attn_config():
+        def fit(limit, seq, quantum):
+            b = min(limit, seq) - (min(limit, seq) % quantum)
+            while b >= quantum and seq % b:
+                b -= quantum
+            return max(b, quantum)
+
+        return KernelConfig(
+            block_q=fit(cfg.block_q, c, 8),
+            block_kv=fit(cfg.block_kv, start + c, 128),
+            d_head=cfg.d_head, dtype=cfg.dtype,
+            causal=True, q_offset=start,
+        )
+
+    acfg = chunk_attn_config()
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        q = q.reshape(1, c, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        k = k.reshape(1, c, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        v = v.reshape(1, c, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        # Chunk K/V go to pages FIRST: the prefix this chunk's attention
+        # reads back is then exactly what decode will read later (one
+        # quantization at write time, no double-rounding drift).
+        cache = _write_prompt_layer(cache, li, k[0, :, :write_len],
+                                    v[0, :, :write_len], page_table,
+                                    write_len,
+                                    page0=start // cache.page_size)
+        if start:
+            k_pref, v_pref = _gather_prefix(cache, li, page_table, start,
+                                            compute_dtype)
+            k_full = jnp.concatenate(
+                [k_pref[None], k.astype(compute_dtype)], axis=2)
+            v_full = jnp.concatenate(
+                [v_pref[None], v.astype(compute_dtype)], axis=2)
+        else:
+            k_full, v_full = k, v
+        out = flash_attention(q, k_full, v_full, acfg, interpret)
+        out = out.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.d_head)
+        x = x + _mm(out, layer["wo"])
+        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+
+    if want_logit_row < 0:
+        return jnp.zeros((cfg.vocab_size,), jnp.float32), cache
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return _mm(x[:, want_logit_row], params["lm_head"]).astype(jnp.float32)[0], cache
+
+
+def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
+                    page_table, prompt_len: Optional[int] = None,
+                    chunk_tokens: int = 1024,
+                    interpret: Optional[bool] = None):
+    """Prompt pass in fixed-size chunks: bounded activation memory.
+
+    Whole-prompt prefill materializes (s, hidden_dim) MLP intermediates —
+    ~470 MB bf16 per layer at 8k tokens on the 8B config. Chunking caps
+    that at chunk_tokens rows: each chunk attends offset-causally over
+    [cached prefix | chunk] (``KernelConfig.q_offset``), writes its K/V
+    pages, and only the chunk containing ``prompt_len - 1`` computes
+    logits. Semantically identical to :func:`prefill` for dense caches;
+    quantized caches calibrate scales from the FIRST chunk (decode inherits
+    them the same way), so later chunks' K/V round with chunk 0's scale.
+
+    chunk_tokens must be a multiple of the flash block (128) and of
+    page_size (chunks write whole pages). Returns (logits (vocab,) fp32,
+    cache).
+    """
+    ps = cache.page_size
+    if chunk_tokens % 128 or chunk_tokens % ps:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must be a multiple of 128 and "
+            f"of page_size ({ps})")
+    s = tokens.shape[1]
+    prompt_len = prompt_len or s
+    logits = None
+    for start in range(0, prompt_len, chunk_tokens):
+        end = min(start + chunk_tokens, s)
+        write_len = min(prompt_len - start, chunk_tokens)
+        last = start + chunk_tokens >= prompt_len
+        row = (prompt_len - 1 - start) if last else -1
+        chunk = tokens[:, start:end]
+        if chunk.shape[1] % 128:  # pad the tail chunk to the block quantum
+            pad = -chunk.shape[1] % 128
+            chunk = jnp.pad(chunk, ((0, 0), (0, pad)))
+        out, cache = _prefill_one_chunk(
+            params, chunk, cfg, cache, page_table, start, write_len, row,
+            interpret=interpret)
+        if last:
+            logits = out
+            break
+    return logits, cache
 
 
 def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,

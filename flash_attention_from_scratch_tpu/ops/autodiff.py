@@ -38,6 +38,10 @@ def flash_attention(q, k, v, cfg: KernelConfig | None = None,
 
 def _fwd(q, k, v, cfg, interpret):
     rcfg = _resolve(q, k, cfg)
+    if rcfg.q_offset:
+        raise NotImplementedError(
+            "q_offset (chunked-prefill offset-causal) is inference-only; "
+            "the backward kernels assume top-left causal alignment")
     if rcfg.kv_loop != KVLoop.GRID:
         # The residual (LSE) path is only built for the pipelined GRID
         # variant; FORI exists for ladder comparisons, not training.

@@ -155,6 +155,11 @@ class KernelConfig:
 
     # Masking (extension beyond the reference, which is non-causal only).
     causal: bool = False
+    # Offset-causal: q row i attends kv columns [0, q_offset + i]. The
+    # primitive chunked prefill needs — a chunk starting at global position
+    # p runs causal over [prefix | chunk] KV with q_offset = p. 0 keeps the
+    # standard top-left alignment (q and kv starts coincide).
+    q_offset: int = 0
 
     # Resource hints.
     vmem_limit_mb: int = 64
@@ -176,6 +181,10 @@ class KernelConfig:
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
             )
+        if self.q_offset < 0:
+            raise ValueError(f"q_offset must be >= 0: {self.q_offset}")
+        if self.q_offset and not self.causal:
+            raise ValueError("q_offset only applies to causal masking")
         if self.kv_splits < 1:
             raise ValueError("kv_splits must be >= 1")
         if self.kv_splits > 1 and (
@@ -303,6 +312,8 @@ class KernelConfig:
             flags.append("rk")
         if self.causal:
             flags.append("ca")
+        if self.q_offset:
+            flags.append(f"qo{self.q_offset}")
         flag_s = "+".join(flags) if flags else "none"
         return (
             f"fa_{self.dtype.short}_q{self.block_q}_kv{self.block_kv}"
@@ -331,14 +342,18 @@ def parse_short_form(s: str) -> KernelConfig:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
     kv_splits = q_splits = 1
+    q_offset = 0
     for f in flags:
         if f.startswith("sp") and f[2:].isdigit():
             kv_splits = int(f[2:])
         if f.startswith("qs") and f[2:].isdigit():
             q_splits = int(f[2:])
+        if f.startswith("qo") and f[2:].isdigit():
+            q_offset = int(f[2:])
     return KernelConfig(
         kv_splits=kv_splits,
         q_splits=q_splits,
+        q_offset=q_offset,
         block_q=int(m.group("bq")),
         block_kv=int(m.group("bkv")),
         d_head=int(m.group("d")),

@@ -235,7 +235,9 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
     # Actual KV block index in sequence order (reverse_kv flips the walk).
     kv_block = (num_kv - 1 - kv_step) if cfg.reverse_kv else kv_step
     kv_start = kv_block * cfg.block_kv
-    q_span = qi * cfg.block_q
+    # q_offset shifts every q row's global position (offset-causal:
+    # chunked prefill over [prefix | chunk] KV); 0 = standard causal.
+    q_span = qi * cfg.block_q + cfg.q_offset
 
     # For causal masking, blocks strictly above the diagonal contribute
     # nothing: predicate away their compute (the grid still visits them —
@@ -415,7 +417,9 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
     bi = pl.program_id(0)
     hi = pl.program_id(1) // group if group > 1 else pl.program_id(1)
     qi = pl.program_id(2)
-    q_span = qi * cfg.block_q
+    # q_offset shifts every q row's global position (offset-causal:
+    # chunked prefill over [prefix | chunk] KV); 0 = standard causal.
+    q_span = qi * cfg.block_q + cfg.q_offset
     nbuf = max(cfg.num_kv_buffers, 1)
 
     if cfg.causal:

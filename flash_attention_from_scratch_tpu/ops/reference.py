@@ -23,8 +23,9 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("causal", "scale_override"))
-def reference_attention(q, k, v, *, causal: bool = False, scale_override=None):
+@partial(jax.jit, static_argnames=("causal", "scale_override", "q_offset"))
+def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
+                        q_offset: int | None = None):
     """Straightforward softmax(QK^T * scale) V in the input dtype.
 
     Shapes: q, k, v are (batch, heads, seq, d_head). Matmuls run in the input
@@ -45,8 +46,14 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None):
     )
     s = s * scale
     if causal:
+        # q_offset None = bottom-right alignment (q row i sees kv up to
+        # k_len - q_len + i, the flash-attn cross-causal convention);
+        # an explicit offset means q row i sees kv [0, q_offset + i] —
+        # the kernel's chunked-prefill semantics (configs.KernelConfig
+        # q_offset, where the kernel's default 0 is top-left).
         q_len, k_len = s.shape[-2], s.shape[-1]
-        mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k=k_len - q_len)
+        diag = k_len - q_len if q_offset is None else q_offset
+        mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k=diag)
         s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum(
@@ -55,16 +62,17 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None):
     ).astype(q.dtype)
 
 
-def reference_pair(q, k, v, *, causal: bool = False):
+def reference_pair(q, k, v, *, causal: bool = False, q_offset=None):
     """(native-dtype output, fp32 output) for the adaptive tolerance rule.
 
     Port of the double-oracle setup in ``test/utils.py:137-162``: the fp32
     pass upcasts the same inputs, so ``|ref16 - ref32|`` measures pure
     rounding error of the dtype at this problem size.
     """
-    out_native = reference_attention(q, k, v, causal=causal)
+    out_native = reference_attention(q, k, v, causal=causal, q_offset=q_offset)
     out_fp32 = reference_attention(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), causal=causal
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=causal, q_offset=q_offset,
     )
     return out_native, out_fp32
 

@@ -72,17 +72,26 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
                      context: int = 1024, page_size: int = 128,
                      weights: str = "int8", kv: str = "int8",
                      single_chip_ms: float | None = None,
-                     hbm_gbps_val: float | None = None) -> list[dict]:
-    """One report row per tp degree. Executes each step once for real."""
+                     hbm_gbps_val: float | None = None,
+                     exec_batch: int | None = None) -> list[dict]:
+    """One report row per tp degree. Executes each step once for real.
+
+    ``exec_batch`` (default min(batch, 4)): batch used for the proving
+    execution/compile only — the per-sequence cache-write unroll makes the
+    CPU compile of a big model at batch 16 intractable, and batch does not
+    change the sharding. Byte accounting and projections use ``batch``.
+    """
     if hbm_gbps_val is None:
         hbm_gbps_val = hbm_gbps()
     tps = sorted(tps)
     if single_chip_ms is not None and tps[0] != 1:
         raise ValueError("single_chip_ms anchors projections on a tp=1 "
                          "measurement; include 1 in tps")
+    if exec_batch is None:
+        exec_batch = min(batch, 4)
     rows = []
     pages_per_seq = -(-(context + 8) // page_size)
-    num_pages = batch * pages_per_seq + 1
+    num_pages = exec_batch * pages_per_seq + 1
 
     key = jax.random.PRNGKey(0)
     if weights == "bf16":
@@ -105,11 +114,11 @@ def tp_decode_report(cfg: LlamaConfig, tps=(1, 2, 4, 8), *, batch: int = 16,
             lambda x: put(x, P(MODEL_AXIS, None, None, None))
             if x.ndim == 4 else put(x, P(MODEL_AXIS, None)), cache)
 
-        tokens = jnp.zeros(batch, jnp.int32)
-        lengths = jnp.full((batch,), context, jnp.int32)
+        tokens = jnp.zeros(exec_batch, jnp.int32)
+        lengths = jnp.full((exec_batch,), context, jnp.int32)
         tables = jnp.asarray(
-            np.arange(batch * pages_per_seq, dtype=np.int32)
-            .reshape(batch, pages_per_seq))
+            np.arange(exec_batch * pages_per_seq, dtype=np.int32)
+            .reshape(exec_batch, pages_per_seq))
 
         interp = jax.devices()[0].platform == "cpu" or \
             mesh.devices.flat[0].platform == "cpu"

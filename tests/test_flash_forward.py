@@ -86,6 +86,38 @@ def test_causal(kv_loop):
 
 
 @pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+@pytest.mark.parametrize("q_offset", [128, 256, 384])
+def test_offset_causal(kv_loop, q_offset):
+    """Chunked-prefill masking: q row i sees kv [0, q_offset + i].
+
+    Cross-checks the kernel against a dense-mask oracle AND against the
+    equivalent full causal pass restricted to the chunk's rows.
+    """
+    import jax
+
+    seq_kv, chunk = 512, 128
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
+                       q_offset=q_offset, kv_loop=kv_loop)
+    qf, k, v = generate_qkv(seq_kv, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    q = qf[:, :, q_offset:q_offset + chunk]
+    out = flash_forward(q, k[:, :, :q_offset + chunk],
+                        v[:, :, :q_offset + chunk], cfg)
+    ref_native, ref_fp32 = reference_pair(
+        q, k[:, :, :q_offset + chunk], v[:, :, :q_offset + chunk],
+        causal=True, q_offset=q_offset)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"offset {q_offset} {kv_loop}: {kerr:.3e} vs {berr:.3e}"
+
+    # The same rows of a full causal pass must match exactly in semantics.
+    full = flash_forward(qf, k, v, KernelConfig(
+        block_q=128, block_kv=128, causal=True, kv_loop=kv_loop))
+    err = float(jax.numpy.max(jax.numpy.abs(
+        out.astype(jnp.float32)
+        - full[:, :, q_offset:q_offset + chunk].astype(jnp.float32))))
+    assert err < 0.02, err
+
+
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
 @pytest.mark.parametrize("causal", [False, True])
 def test_gqa(kv_loop, causal):
     """Grouped-query attention: 4 Q heads share each KV head via index map."""
