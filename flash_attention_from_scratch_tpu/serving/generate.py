@@ -27,7 +27,7 @@ import numpy as np
 
 from ..models.decode import (
     PagedKVCache, decode_loop, decode_step, greedy_token, init_cache, prefill,
-    sample_token,
+    prefill_chunked, sample_token,
 )
 from ..models.llama import LlamaConfig
 from .runtime import PagedEngine
@@ -64,6 +64,7 @@ class GenerationServer:
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  chunk: int = 1, attn_int8: bool = False, mesh=None,
+                 prefill_chunk_tokens: int = 0,
                  interpret: Optional[bool] = None):
         self.cfg = cfg
         self.mode = mode
@@ -124,6 +125,15 @@ class GenerationServer:
             # so a chunk may not outgrow it.
             raise ValueError(f"chunk must be in [1, page_size]; got {chunk}")
         self.chunk = chunk
+        if prefill_chunk_tokens and (prefill_chunk_tokens % 128
+                                     or prefill_chunk_tokens % page_size):
+            raise ValueError(
+                f"prefill_chunk_tokens ({prefill_chunk_tokens}) must be a "
+                f"multiple of 128 and of page_size ({page_size})")
+        if prefill_chunk_tokens and mesh is not None:
+            raise ValueError("prefill_chunk_tokens + mesh not supported yet "
+                             "(chunked prefill is single-chip)")
+        self.prefill_chunk_tokens = prefill_chunk_tokens
         self._key = jax.random.PRNGKey(seed)
         self._stopped: list[int] = []
 
@@ -174,12 +184,21 @@ class GenerationServer:
                 st.generated = []
             if not st.prefilled:
                 padded = _pad_to_multiple(st.prompt)
-                logits, self.cache = prefill(
-                    self.params, jnp.asarray(padded)[None, :], self.cfg,
-                    self.cache, jnp.asarray(batch.page_tables[row]),
-                    prompt_len=len(st.prompt), interpret=self.interpret,
-                    mesh=self.mesh,
-                )
+                if self.prefill_chunk_tokens:
+                    logits, self.cache = prefill_chunked(
+                        self.params, jnp.asarray(padded)[None, :], self.cfg,
+                        self.cache, jnp.asarray(batch.page_tables[row]),
+                        prompt_len=len(st.prompt),
+                        chunk_tokens=self.prefill_chunk_tokens,
+                        interpret=self.interpret,
+                    )
+                else:
+                    logits, self.cache = prefill(
+                        self.params, jnp.asarray(padded)[None, :], self.cfg,
+                        self.cache, jnp.asarray(batch.page_tables[row]),
+                        prompt_len=len(st.prompt), interpret=self.interpret,
+                        mesh=self.mesh,
+                    )
                 pending.append((sid, self._pick(logits, sid)))
                 st.prefilled = True
             else:
