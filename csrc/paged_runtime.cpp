@@ -16,6 +16,7 @@
 // sequence on exhaustion (preempted sequences re-enter the queue head and
 // will re-prefill — vLLM-style recompute preemption).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -188,6 +189,53 @@ int32_t fa_engine_commit_tokens(void* h, int64_t* finished_out, int32_t cap) {
   }
   e->running = std::move(still);
   return n_fin;
+}
+
+// Grow every running sequence's page list to cover `n` MORE tokens beyond
+// what step() already allocated — the speculative-decoding slot reservation
+// (k draft tokens verified in one model call). Never preempts: returns -1
+// (allocating nothing) if the pool cannot cover every sequence, so callers
+// can fall back to one-token decoding; 0 on success. Pages stay with their
+// sequences either way — uncommitted slots are plain headroom that later
+// tokens grow into.
+int32_t fa_engine_grow_batch(void* h, int32_t n) {
+  auto* e = static_cast<Engine*>(h);
+  int32_t need = 0;
+  for (int64_t id : e->running) {
+    auto& s = e->seqs[id];
+    int32_t want = e->pages_needed(s.total_len() + 1 + n);
+    if (want > e->max_pages_per_seq) return -1;
+    need += std::max(0, want - (int32_t)s.pages.size());
+  }
+  if (need > (int32_t)e->free_pages.size()) return -1;
+  for (int64_t id : e->running) {
+    auto& s = e->seqs[id];
+    bool ok = e->grow_to(s, s.total_len() + 1 + n);
+    (void)ok;  // cannot fail: `need` was checked against the free list
+  }
+  return 0;
+}
+
+// Commit `n` tokens for ONE sequence — the speculative-acceptance path
+// (each row accepts a different number of draft tokens). Returns 1 if the
+// sequence reached its budget and finished (pages freed), 0 if it keeps
+// running, -1 if the id is unknown or not running.
+int32_t fa_engine_commit_n(void* h, int64_t id, int32_t n) {
+  auto* e = static_cast<Engine*>(h);
+  auto it = e->seqs.find(id);
+  if (it == e->seqs.end()) return -1;
+  auto& s = it->second;
+  if (!s.running) return -1;
+  s.generated += n;
+  if (s.generated >= s.max_new_tokens) {
+    e->release(s);
+    for (auto r = e->running.begin(); r != e->running.end(); ++r) {
+      if (*r == id) { e->running.erase(r); break; }
+    }
+    e->seqs.erase(it);
+    return 1;
+  }
+  return 0;
 }
 
 // Finish a sequence before its max_new_tokens budget — the stop-token /

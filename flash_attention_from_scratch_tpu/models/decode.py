@@ -34,7 +34,8 @@ from .llama import (
 )
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
-           "decode_step", "decode_loop", "greedy_token", "sample_token"]
+           "decode_step", "verify_step", "decode_loop", "greedy_token",
+           "sample_token"]
 
 
 def _mlp(layer, h, cfg):
@@ -598,6 +599,118 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
     return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "attn_int8"),
+                   donate_argnames=("cache",))
+def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
+                lengths, page_tables, interpret: Optional[bool] = None,
+                attn_int8: bool = False):
+    """Score t tokens per sequence in ONE forward pass (speculative verify).
+
+    The multi-token generalization of :func:`decode_step`: token j of a
+    row's t inputs sits at position ``lengths - t + j`` (``lengths``
+    INCLUDES the t tokens; the scheduler has allocated their slots). All t
+    tokens' K/V are written to their pages, and attention uses the
+    multi-token paged kernel (``ops.paged_attention`` with ``q_tokens = t``
+    — per-token causal masks within the new tokens).
+
+    Args:
+      tokens: (batch, t) int32 — [previous committed token, draft_1..t-1].
+
+    Returns (logits (batch, t, vocab) fp32, cache): logits[:, j] is the
+    model's next-token distribution after consuming token j — row j
+    verifies draft j+1, and the last row supplies the bonus/correction
+    token.
+    """
+    cache = dataclasses.replace(cache, k_pages=list(cache.k_pages),
+                                v_pages=list(cache.v_pages),
+                                k_scales=list(cache.k_scales),
+                                v_scales=list(cache.v_scales))
+    batch, t = tokens.shape
+    ps = cache.page_size
+    x = params["embed"][tokens]  # (batch, t, dim)
+    pos = lengths[:, None] - t + jnp.arange(t)[None, :]  # (batch, t)
+
+    inv_freq = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.d_head, 2, dtype=jnp.float32) / cfg.d_head))
+    angles = pos.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    cos = jnp.cos(angles)[:, None]  # (batch, 1, t, d/2)
+    sin = jnp.sin(angles)[:, None]
+
+    page_of = jnp.take_along_axis(page_tables, pos // ps, axis=1)  # (b, t)
+    slot_of = pos % ps
+    first_page = page_tables[:, 0]
+
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv(layer, h, cfg)
+        q = q.reshape(batch, t, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        k = k.reshape(batch, t, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        v = v.reshape(batch, t, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)       # (b, H, t, d)
+        k = apply_rope(k, cos, sin)       # (b, kvh, t, d)
+
+        if cache.mode != "dense":
+            ks_seq = cache.k_scales[li][:, first_page]  # (kv_heads, batch)
+            vs_seq = cache.v_scales[li][:, first_page]
+            k_st = _quantize_rows(k, ks_seq.T[:, :, None, None], cache.mode)
+            v_st = _quantize_rows(v, vs_seq.T[:, :, None, None], cache.mode)
+            flat_pages = page_of.reshape(-1)
+            cache.k_scales[li] = cache.k_scales[li].at[:, flat_pages].set(
+                jnp.repeat(ks_seq, t, axis=1))
+            cache.v_scales[li] = cache.v_scales[li].at[:, flat_pages].set(
+                jnp.repeat(vs_seq, t, axis=1))
+        else:
+            k_st, v_st = k, v
+
+        # Per-(sequence, token) DUS box writes — same relayout-avoidance as
+        # decode_step; batch * t boxes per pool (t is small, typically <= 8).
+        kvh = cfg.n_kv_heads
+        if cache.mode == KVQuantMode.INT4:
+            half = ps // 2
+            byte_row = slot_of % half
+            is_hi = slot_of >= half
+
+            def scatter(pages, rows):
+                q4 = rows & 0x0F  # (batch, kvh, t, d)
+                for b in range(batch):
+                    for j in range(t):
+                        at = (0, page_of[b, j], byte_row[b, j], 0)
+                        old = jax.lax.dynamic_slice(
+                            pages, at, (kvh, 1, 1, pages.shape[3]))
+                        new = q4[b, :, j][:, None, None, :]
+                        lo_w = (old & jnp.int8(-16)) | new
+                        hi_w = (old & jnp.int8(0x0F)) | (new << 4)
+                        pages = jax.lax.dynamic_update_slice(
+                            pages, jnp.where(is_hi[b, j], hi_w, lo_w), at)
+                return pages
+        else:
+            def scatter(pages, rows):
+                for b in range(batch):
+                    for j in range(t):
+                        pages = jax.lax.dynamic_update_slice(
+                            pages, rows[b, :, j][:, None, None, :],
+                            (0, page_of[b, j], slot_of[b, j], 0))
+                return pages
+
+        cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
+        cache.v_pages[li] = scatter(cache.v_pages[li], v_st)
+
+        out = paged_decode_attention(
+            q, cache.k_pages[li], cache.v_pages[li], lengths, page_tables,
+            mode=cache.mode,
+            k_scales=None if cache.mode == "dense" else cache.k_scales[li],
+            v_scales=None if cache.mode == "dense" else cache.v_scales[li],
+            int8_compute=attn_int8, interpret=interpret,
+        )  # (batch, heads, t, d)
+        out = out.transpose(0, 2, 1, 3).reshape(
+            batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)
+        x = x + _mm(out, layer["wo"])
+        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+
+    x = rms_norm(x, params["final_norm"], cfg.norm_eps)
+    return _mm(x, params["lm_head"]).astype(jnp.float32), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "temperature",

@@ -68,7 +68,7 @@ def _quantize_q_rows(q):
 
 def _full_kernel(page_size: int, d: int, mode: str, scale: float,
                  compute_dtype, max_pages: int, int8_compute: bool,
-                 kv_heads: int,
+                 kv_heads: int, q_tokens: int,
                  # scalar prefetch
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  # inputs
@@ -203,7 +203,16 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
             s = _scale_col_blocks(s, k_sc, rows)
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(token_pos(col) < length, s, MASK_VALUE)
+        if q_tokens == 1:
+            limit = length
+        else:
+            # Multi-token decode (speculative verify): q row r is the
+            # group-g copy of new token j = r % q_tokens, sitting at
+            # position length - q_tokens + j; it sees cols <= its position.
+            rowj = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), q_tokens)
+            limit = length - (q_tokens - 1) + rowj
+        s = jnp.where(token_pos(col) < limit, s, MASK_VALUE)
 
         if not int8_compute:
             # Zero V rows past the length: their P weights are exactly 0,
@@ -243,7 +252,7 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
 
 
 def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
-                 compute_dtype, int8_compute: bool,
+                 compute_dtype, int8_compute: bool, q_tokens: int,
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  q_ref, k_hbm, v_hbm,
                  o_ref,
@@ -313,7 +322,13 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
         if mode != "dense":
             s = s * ks_ref[hk, page]
         col = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < length, s, MASK_VALUE)
+        if q_tokens == 1:
+            limit = length
+        else:
+            rowj = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), q_tokens)
+            limit = length - (q_tokens - 1) + rowj
+        s = jnp.where(col < limit, s, MASK_VALUE)
         if not int8_compute:
             # Zero V rows past the length (0 * NaN = NaN; see _full_kernel
             # note). int8 V has no NaN bit patterns.
@@ -359,7 +374,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
                        page_size: int, pages_per_seq: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
                        scale: float, interpret: bool,
-                       int8_compute: bool = False):
+                       int8_compute: bool = False, q_tokens: int = 1):
     store_dtype = jnp.dtype(store_dtype_name)
     compute_dtype = jnp.dtype(compute_dtype_name)
     # int4 pages are sublane-packed: (page_size // 2, d_head) bytes per page.
@@ -373,7 +388,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         # Grid (batch,): all KV heads per program (see _full_kernel).
         kernel = functools.partial(_full_kernel, page_size, d, mode, scale,
                                    compute_dtype, pages_per_seq, int8_compute,
-                                   kv_heads)
+                                   kv_heads, q_tokens)
         scratch = [
             pltpu.VMEM((2, kv_heads, pages_per_seq * buf_rows, d),
                        store_dtype),
@@ -382,20 +397,20 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
             pltpu.SemaphoreType.DMA((2, 2, kv_heads, pages_per_seq)),
         ]
         grid = (batch,)
-        qo_spec = pl.BlockSpec((1, kv_heads, group, d),
+        qo_spec = pl.BlockSpec((1, kv_heads, group * q_tokens, d),
                                lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         semantics = ("arbitrary",)
     else:
         kernel = functools.partial(_loop_kernel, page_size, d, mode, scale,
-                                   compute_dtype, int8_compute)
+                                   compute_dtype, int8_compute, q_tokens)
         scratch = [
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
         grid = (batch, kv_heads)
-        qo_spec = pl.BlockSpec((1, 1, group, d),
+        qo_spec = pl.BlockSpec((1, 1, group * q_tokens, d),
                                lambda b, hk, *_: (b, hk, 0, 0),
                                memory_space=pltpu.VMEM)
         semantics = ("arbitrary", "arbitrary")
@@ -415,7 +430,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, kv_heads, group, d),
+        out_shape=jax.ShapeDtypeStruct((batch, kv_heads, group * q_tokens, d),
                                        compute_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
@@ -432,10 +447,14 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
                            scale: float | None = None,
                            int8_compute: bool = False,
                            interpret: bool | None = None):
-    """softmax(q K^T * scale) V for one query token over a paged KV cache.
+    """softmax(q K^T * scale) V for 1..t query tokens over a paged KV cache.
 
     Args:
-      q: (batch, n_heads, d_head) — the current step's query per sequence.
+      q: (batch, n_heads, d_head) — the current step's query per sequence —
+        or (batch, n_heads, q_tokens, d_head) for multi-token decode
+        (speculative verify): token j of the q_tokens new ones sits at
+        position lengths - q_tokens + j and is masked causally within the
+        new tokens (their K/V must already be in the cache).
       k_pages/v_pages: (n_kv_heads, num_pages, page_size, d_head) — for
         packed-INT4, (n_kv_heads, num_pages, page_size // 2, d_head) with
         byte (t, c) holding token t (lo nibble) / token t + page_size/2 (hi).
@@ -449,9 +468,10 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
         extra attention error for ~1.9x kernel throughput.
       k_scales/v_scales: (n_kv_heads, num_pages) fp32, required for quant modes.
 
-    Returns (batch, n_heads, d_head) in q's dtype.
+    Returns q's shape in q's dtype.
     """
-    batch, heads, d = q.shape
+    q_tokens = 1 if q.ndim == 3 else q.shape[2]
+    batch, heads, d = q.shape[0], q.shape[1], q.shape[-1]
     kv_heads, num_pages, page_rows = k_pages.shape[:3]
     page_size = page_rows * 2 if mode == "int4" else page_rows
     if heads % kv_heads:
@@ -476,9 +496,13 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
     fn = _build_decode_call(
         batch, kv_heads, group, d, page_size, pages_per_seq,
         mode, str(k_pages.dtype), str(q.dtype), float(scale), interpret,
-        int8_compute,
+        int8_compute, q_tokens,
     )
-    q_g = q.reshape(batch, kv_heads, group, d)
+    # Rows ordered (group, token): row r of a head's tile is group copy
+    # r // q_tokens of new token r % q_tokens — matching the kernels' mask.
+    q_g = q.reshape(batch, kv_heads, group * q_tokens, d)
     out = fn(lengths.astype(jnp.int32), page_tables.astype(jnp.int32),
              k_scales, v_scales, q_g, k_pages, v_pages)
-    return out.reshape(batch, heads, d)
+    if q_tokens == 1:
+        return out.reshape(batch, heads, d)
+    return out.reshape(batch, heads, q_tokens, d)

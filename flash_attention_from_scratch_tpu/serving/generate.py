@@ -27,12 +27,27 @@ import numpy as np
 
 from ..models.decode import (
     PagedKVCache, decode_loop, decode_step, greedy_token, init_cache, prefill,
-    prefill_chunked, sample_token,
+    prefill_chunked, sample_token, verify_step,
 )
 from ..models.llama import LlamaConfig
 from .runtime import PagedEngine
 
 __all__ = ["GenerationServer"]
+
+
+def _prompt_lookup_draft(ctx: list[int], k: int, ngram: int = 2) -> list[int]:
+    """Draft up to k tokens by continuing the latest earlier occurrence of
+    the context's final ``ngram`` — prompt-lookup decoding (no draft model).
+    Strong on contexts with self-repetition (summaries, code, extraction);
+    returns [] when the n-gram never occurred before, which costs nothing
+    (the verify step then just decodes one token)."""
+    if len(ctx) <= ngram:
+        return []
+    key = ctx[-ngram:]
+    for i in range(len(ctx) - ngram - 1, -1, -1):
+        if ctx[i:i + ngram] == key:
+            return list(ctx[i + ngram:i + ngram + k])
+    return []
 
 
 def _pad_to_multiple(tokens: list[int], quantum: int = 128) -> np.ndarray:
@@ -64,7 +79,7 @@ class GenerationServer:
                  pages_per_seq: Optional[int] = None, mode: str = "dense",
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  chunk: int = 1, attn_int8: bool = False, mesh=None,
-                 prefill_chunk_tokens: int = 0,
+                 prefill_chunk_tokens: int = 0, spec_k: int = 0,
                  interpret: Optional[bool] = None):
         self.cfg = cfg
         self.mode = mode
@@ -134,6 +149,21 @@ class GenerationServer:
             raise ValueError("prefill_chunk_tokens + mesh not supported yet "
                              "(chunked prefill is single-chip)")
         self.prefill_chunk_tokens = prefill_chunk_tokens
+        if spec_k:
+            if temperature > 0.0:
+                raise ValueError("speculative decoding is greedy-only "
+                                 "(rejection sampling not implemented)")
+            if chunk > 1:
+                raise ValueError("spec_k and chunk>1 are exclusive decode "
+                                 "strategies")
+            if not 1 <= spec_k + 1 <= page_size:
+                # Padding rows park their t = spec_k + 1 tokens in the
+                # single scratch page.
+                raise ValueError(
+                    f"spec_k must be in [1, page_size - 1]; got {spec_k}")
+        self.spec_k = spec_k
+        self.spec_proposed = 0  # drafted tokens offered to the verifier
+        self.spec_accepted = 0  # drafted tokens accepted
         self._key = jax.random.PRNGKey(seed)
         self._stopped: list[int] = []
 
@@ -209,6 +239,10 @@ class GenerationServer:
                 self._append(sid, int(tok))
 
         if decode_rows:
+            if (self.spec_k > 0 and self.engine.waiting == 0
+                    and len(decode_rows) == len(batch.ids)
+                    and self.engine.grow_batch(self.spec_k)):
+                return self._decode_speculative(batch, decode_rows)
             n = self._chunk_len(batch, decode_rows)
             if n > 1:
                 batch = self._advance_chunk(batch, n)
@@ -308,6 +342,68 @@ class GenerationServer:
             pad_tables[:, 0] = self.scratch_page
             tables = np.concatenate([tables, pad_tables], axis=0)
         return tokens, lengths, tables, pad
+
+    def _decode_speculative(self, batch, decode_rows) -> list[int]:
+        """One verify_step scoring spec_k drafted tokens per sequence.
+
+        Prompt-lookup drafting (no draft model): the continuation after the
+        most recent earlier occurrence of the context's final bigram is
+        proposed, verified in ONE multi-token forward pass, and accepted
+        greedily until the first token where the model disagrees — which
+        contributes the correction; a fully-accepted draft gets a bonus
+        token from the last position. Every step commits >= 1 token, so
+        this is never slower in steps than plain decoding. grow_batch
+        already reserved the k extra slots (all-or-nothing, no preemption).
+        """
+        k = self.spec_k
+        t = k + 1
+        rows = decode_rows
+        sids = [int(batch.ids[r]) for r in rows]
+        drafts = []
+        inputs = np.zeros((self.max_batch, t), np.int32)
+        for i, sid in enumerate(sids):
+            st = self.seqs[sid]
+            ctx = st.prompt + st.generated
+            d = _prompt_lookup_draft(ctx, k)
+            drafts.append(d)
+            inputs[i, 0] = ctx[-1]
+            inputs[i, 1:1 + len(d)] = d
+        _, lengths, tables, _ = self._gather_batch(batch, rows, pad_length=1)
+        lengths = lengths + k  # the t inputs end at position lengths0 + k - 1
+
+        logits, self.cache = verify_step(
+            self.params, jnp.asarray(inputs), self.cfg, self.cache,
+            jnp.asarray(lengths), jnp.asarray(tables),
+            interpret=self.interpret, attn_int8=self.attn_int8,
+        )
+        # One host readback for the whole batch.
+        preds = np.asarray(greedy_token(
+            logits.reshape(-1, logits.shape[-1])).reshape(logits.shape[:2]))
+
+        finished: list[int] = []
+        for i, sid in enumerate(sids):
+            st = self.seqs[sid]
+            draft = drafts[i]
+            out_toks = []
+            for j in range(t):
+                out_toks.append(int(preds[i, j]))
+                if j >= len(draft) or int(preds[i, j]) != draft[j]:
+                    break  # correction emitted; drop the rest of the draft
+            self.spec_proposed += len(draft)
+            self.spec_accepted += len(out_toks) - 1
+            remaining = st.max_new - len(st.generated)
+            out_toks = out_toks[:remaining]
+            n_commit = 0
+            stopped = False
+            for tok in out_toks:
+                n_commit += 1
+                self.decode_tokens += 1
+                if self._append(sid, tok):
+                    stopped = True  # _append recorded it in self._stopped
+                    break
+            if not stopped and self.engine.commit_n(sid, n_commit):
+                finished.append(sid)  # budget reached
+        return self._stopped + finished
 
     def _decode_chunk(self, batch, decode_rows, n: int):
         """One ``decode_loop`` call generating n tokens for every row."""

@@ -73,6 +73,11 @@ def _load():
         _lib.fa_engine_preempt_count.argtypes = [ctypes.c_void_p]
         _lib.fa_engine_finish.restype = ctypes.c_int32
         _lib.fa_engine_finish.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        _lib.fa_engine_grow_batch.restype = ctypes.c_int32
+        _lib.fa_engine_grow_batch.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        _lib.fa_engine_commit_n.restype = ctypes.c_int32
+        _lib.fa_engine_commit_n.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
     return _lib
 
 
@@ -143,6 +148,20 @@ class PagedEngine:
         buf = (ctypes.c_int64 * cap)()
         n = self._lib.fa_engine_commit_tokens(self._h, buf, cap)
         return [buf[i] for i in range(min(n, cap))]
+
+    def grow_batch(self, n: int) -> bool:
+        """Reserve slots for n MORE tokens per running sequence (speculative
+        draft headroom). All-or-nothing and never preempts: False means the
+        pool can't cover it and the caller should decode one token instead."""
+        return self._lib.fa_engine_grow_batch(self._h, n) == 0
+
+    def commit_n(self, seq_id: int, n: int) -> bool:
+        """Commit n accepted tokens for one sequence; True if it finished
+        (budget reached, pages freed)."""
+        rc = self._lib.fa_engine_commit_n(self._h, seq_id, n)
+        if rc < 0:
+            raise KeyError(f"unknown/idle sequence {seq_id}")
+        return rc == 1
 
     @property
     def running(self) -> int:

@@ -193,3 +193,79 @@ def test_paged_decode_group1():
     ref = _dense_reference(q, k_dense, v_dense, lengths)
     err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
     assert err < 3e-2, float(err)
+
+
+def _dense_reference_multi(q, k_dense, v_dense, lengths, t):
+    """q (batch, heads, t, d): token j at position lengths - t + j."""
+    batch, heads, _, d = q.shape
+    kv_heads = k_dense.shape[1]
+    group = heads // kv_heads
+    k = jnp.repeat(k_dense, group, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_dense, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhjd,bhkd->bhjk", q.astype(jnp.float32), k) / jnp.sqrt(1.0 * d)
+    pos = (jnp.asarray(lengths)[:, None] - t
+           + jnp.arange(t)[None, :])  # (batch, t)
+    mask = (jnp.arange(k.shape[2])[None, None, None, :]
+            <= pos[:, None, :, None])
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhjk,bhkd->bhjd", p, v)
+
+
+@pytest.mark.parametrize("mode", ["dense", "int8"])
+def test_paged_decode_multi_token(mode):
+    """Multi-token (speculative-verify) queries: per-token causal masks."""
+    from flash_attention_from_scratch_tpu.ops.quant import quantize_kv_pages
+
+    t = 4
+    lengths = [256, 133, 17]  # includes the t new tokens
+    batch, kv_heads, heads, d, page_size, num_pages = 3, 2, 8, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, t, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+        num_pages, d)
+
+    if mode == "int8":
+        kq, ks = quantize_kv_pages(k_pages, "int8")
+        vq, vs = quantize_kv_pages(v_pages, "int8")
+        out = paged_decode_attention(q, kq, vq, jnp.asarray(lengths), pt,
+                                     mode="int8", k_scales=ks, v_scales=vs)
+        tol = 0.08
+    else:
+        out = paged_decode_attention(q, k_pages, v_pages,
+                                     jnp.asarray(lengths), pt)
+        tol = 0.02
+    assert out.shape == (batch, heads, t, d)
+    ref = _dense_reference_multi(q, k_dense, v_dense, lengths, t)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < tol, float(err)
+
+    # The last token must agree with the single-token kernel exactly.
+    single = paged_decode_attention(
+        q[:, :, -1], k_pages, v_pages, jnp.asarray(lengths), pt) \
+        if mode == "dense" else None
+    if single is not None:
+        drift = jnp.max(jnp.abs(out[:, :, -1].astype(jnp.float32)
+                                - single.astype(jnp.float32)))
+        assert drift < 5e-3, float(drift)
+
+
+def test_paged_decode_multi_token_loop_variant(monkeypatch):
+    import flash_attention_from_scratch_tpu.ops.paged_attention as pa
+
+    monkeypatch.setattr(pa, "_FULL_VARIANT_VMEM_CAP", 0)
+    pa._build_decode_call.cache_clear()
+    t = 3
+    lengths = [256, 129]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 4, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, t, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+        num_pages, d)
+    out = paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths), pt)
+    ref = _dense_reference_multi(q, k_dense, v_dense, lengths, t)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 0.02, float(err)
+    pa._build_decode_call.cache_clear()

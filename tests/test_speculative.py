@@ -1,0 +1,118 @@
+"""Speculative decoding: multi-token verify + prompt-lookup drafting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attention_from_scratch_tpu.models.llama import (
+    LlamaConfig, forward, init_params,
+)
+from flash_attention_from_scratch_tpu.serving.generate import (
+    GenerationServer, _prompt_lookup_draft,
+)
+
+CFG = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                  n_kv_heads=1, d_head=128, hidden_dim=256,
+                  block_q=128, block_kv=128)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_prompt_lookup_draft():
+    ctx = [1, 2, 3, 4, 9, 9, 1, 2]
+    assert _prompt_lookup_draft(ctx, 3) == [3, 4, 9]
+    assert _prompt_lookup_draft([5, 6, 7], 3) == []          # no recurrence
+    assert _prompt_lookup_draft([1, 2], 3) == []             # too short
+    assert _prompt_lookup_draft([7, 8, 9, 7, 8], 5) == [9, 7, 8]
+
+
+def _naive_logits(params, tokens):
+    s = len(tokens)
+    pad = s + (-s) % 128
+    arr = np.zeros((1, pad), np.int32)
+    arr[0, :s] = tokens
+    return forward(params, jnp.asarray(arr), CFG)[0, s - 1]
+
+
+def _check_greedy_path(params, prompt, generated, slack):
+    tokens = list(prompt)
+    for g in generated:
+        logits = _naive_logits(params, tokens)
+        gap = float(logits.max() - logits[g])
+        assert gap <= slack, (tokens, g, int(jnp.argmax(logits)), gap)
+        tokens.append(g)
+
+
+@pytest.mark.parametrize("mode", ["dense", "int8"])
+def test_speculative_server(params, mode):
+    """spec_k serving produces (near-)greedy trajectories of full length.
+
+    Repetitive prompts make prompt-lookup drafts hit, so acceptance > 0 is
+    asserted — the speculation must actually speculate, not just fall back.
+    """
+    prompts = {
+        1: [10, 11, 12, 13] * 6,          # strongly repetitive
+        2: list(range(40, 60)),
+    }
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=2, pages_per_seq=8, mode=mode,
+                              spec_k=3)
+    for sid, p in prompts.items():
+        server.submit(sid, p, 8)
+    got = server.run()
+
+    slack = {"dense": 0.07, "int8": 0.4}[mode]
+    for sid, p in prompts.items():
+        assert len(got[sid]) == 8, (sid, got[sid])
+        _check_greedy_path(params, p, got[sid], slack)
+    assert server.spec_proposed > 0
+    # Greedy continuations of a tiny random model are near-degenerate
+    # repetition, so lookup drafts should land at least sometimes.
+    assert server.spec_accepted > 0, (server.spec_proposed,
+                                      server.spec_accepted)
+
+
+def test_speculative_matches_plain_greedy(params):
+    """Token-for-token equality with plain serving on the dense cache."""
+    prompts = {1: [10, 11, 12, 13] * 6}
+    runs = {}
+    for k in (0, 3):
+        server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                                  max_batch=1, pages_per_seq=8, spec_k=k)
+        for sid, p in prompts.items():
+            server.submit(sid, p, 10)
+        runs[k] = server.run()
+    # verify_step and decode_step agree to ~1e-2 logits on bf16; a tiny
+    # random model can tie near argmax, so allow trajectory divergence only
+    # if both remain near-greedy — but start with strict equality, which
+    # holds on this fixture.
+    assert runs[0] == runs[3], runs
+
+
+def test_speculative_stop_tokens(params):
+    """A stop token inside an accepted draft ends the sequence there."""
+    server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                              max_batch=1, pages_per_seq=8, spec_k=3)
+    # Discover the greedy continuation first.
+    probe = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                             max_batch=1, pages_per_seq=8)
+    probe.submit(1, [10, 11, 12, 13] * 6, 6)
+    greedy = probe.run()[1]
+    stop = greedy[3]
+    server.submit(1, [10, 11, 12, 13] * 6, 6, stop=(stop,))
+    got = server.run()[1]
+    assert got[-1] == stop
+    assert len(got) <= 4, got
+
+
+def test_spec_k_validation(params):
+    with pytest.raises(ValueError, match="greedy-only"):
+        GenerationServer(params, CFG, num_pages=16, page_size=64,
+                         max_batch=1, spec_k=2, temperature=0.5)
+    with pytest.raises(ValueError, match="exclusive"):
+        GenerationServer(params, CFG, num_pages=16, page_size=64,
+                         max_batch=1, spec_k=2, chunk=4)
