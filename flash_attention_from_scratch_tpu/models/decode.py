@@ -458,7 +458,9 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
 
     from ..parallel.mesh import MODEL_AXIS
 
-    heads_spec = P(None, MODEL_AXIS, None)
+    # q is (batch, heads, d) for single-token decode, (batch, heads, t, d)
+    # for the multi-token verify step — heads shard over tp either way.
+    heads_spec = P(None, MODEL_AXIS, *([None] * (q.ndim - 2)))
     pool_spec = P(MODEL_AXIS, None, None, None)
     sc_spec = P(MODEL_AXIS, None)
     rep = P()
@@ -601,11 +603,12 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     return logits, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "attn_int8"),
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh",
+                                             "attn_int8"),
                    donate_argnames=("cache",))
 def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, interpret: Optional[bool] = None,
-                attn_int8: bool = False):
+                mesh=None, attn_int8: bool = False):
     """Score t tokens per sequence in ONE forward pass (speculative verify).
 
     The multi-token generalization of :func:`decode_step`: token j of a
@@ -629,7 +632,12 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                                 v_scales=list(cache.v_scales))
     batch, t = tokens.shape
     ps = cache.page_size
-    x = params["embed"][tokens]  # (batch, t, dim)
+    pin = lambda x: x  # noqa: E731
+    if mesh is not None:
+        from ..parallel.mesh import pin_residual
+
+        pin = functools.partial(pin_residual, mesh=mesh)
+    x = pin(params["embed"][tokens])  # (batch, t, dim)
     pos = lengths[:, None] - t + jnp.arange(t)[None, :]  # (batch, t)
 
     inv_freq = 1.0 / (cfg.rope_theta ** (
@@ -697,17 +705,16 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         cache.k_pages[li] = scatter(cache.k_pages[li], k_st)
         cache.v_pages[li] = scatter(cache.v_pages[li], v_st)
 
-        out = paged_decode_attention(
-            q, cache.k_pages[li], cache.v_pages[li], lengths, page_tables,
-            mode=cache.mode,
-            k_scales=None if cache.mode == "dense" else cache.k_scales[li],
-            v_scales=None if cache.mode == "dense" else cache.v_scales[li],
-            int8_compute=attn_int8, interpret=interpret,
+        out = _paged_attention_maybe_sharded(
+            q, cache.k_pages[li], cache.v_pages[li],
+            cache.k_scales[li], cache.v_scales[li],
+            lengths, page_tables, cache.mode, mesh, interpret,
+            attn_int8=attn_int8,
         )  # (batch, heads, t, d)
         out = out.transpose(0, 2, 1, 3).reshape(
             batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)
-        x = x + _mm(out, layer["wo"])
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32), cache

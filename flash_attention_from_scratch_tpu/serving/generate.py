@@ -375,6 +375,7 @@ class GenerationServer:
             self.params, jnp.asarray(inputs), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables),
             interpret=self.interpret, attn_int8=self.attn_int8,
+            mesh=self.mesh,
         )
         # One host readback for the whole batch.
         preds = np.asarray(greedy_token(

@@ -109,6 +109,36 @@ def test_speculative_stop_tokens(params):
     assert len(got) <= 4, got
 
 
+def test_speculative_tensor_parallel():
+    """spec_k through the TP serving path on a 2-device mesh."""
+    from flash_attention_from_scratch_tpu.parallel.mesh import make_mesh
+
+    cfg2 = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                       n_kv_heads=2, d_head=128, hidden_dim=256,
+                       block_q=128, block_kv=128)
+    params2 = init_params(cfg2, jax.random.PRNGKey(1))
+    mesh = make_mesh(1, 2, devices=jax.devices("cpu")[:2])
+    server = GenerationServer(params2, cfg2, num_pages=32, page_size=64,
+                              max_batch=1, pages_per_seq=8, spec_k=3,
+                              mesh=mesh)
+    server.submit(1, [10, 11, 12, 13] * 6, 6)
+    got = server.run()
+    assert len(got[1]) == 6
+
+    def naive2(tokens):
+        s = len(tokens)
+        pad = s + (-s) % 128
+        arr = np.zeros((1, pad), np.int32)
+        arr[0, :s] = tokens
+        return forward(params2, jnp.asarray(arr), cfg2)[0, s - 1]
+
+    toks = [10, 11, 12, 13] * 6
+    for g in got[1]:
+        logits = naive2(toks)
+        assert float(logits.max() - logits[g]) <= 0.1, (toks, g)
+        toks.append(g)
+
+
 def test_spec_k_validation(params):
     with pytest.raises(ValueError, match="greedy-only"):
         GenerationServer(params, CFG, num_pages=16, page_size=64,
