@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=8,
                     help="decode tokens per scheduler step when stable")
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="speculative decoding with k prompt-lookup draft "
+                         "tokens per step (greedy; exclusive with --chunk)")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
@@ -57,7 +60,8 @@ def main(argv=None):
     server = GenerationServer(
         params, cfg, num_pages=num_pages, page_size=args.page_size,
         max_batch=args.max_batch, pages_per_seq=pages_per_seq,
-        mode=args.kv, chunk=args.chunk)
+        mode=args.kv, chunk=1 if args.spec_k else args.chunk,
+        spec_k=args.spec_k)
 
     rng = np.random.default_rng(0)
 
@@ -81,13 +85,18 @@ def main(argv=None):
                     if sid < 10**9)  # exclude warmup requests
     assert total_new == args.requests * args.new, "run did not drain fully"
     print(json.dumps({
-        "metric": f"serving_tokens_per_s_{args.model}_w{args.weights}_kv{args.kv}",
+        "metric": (f"serving_tokens_per_s_{args.model}_w{args.weights}"
+                   f"_kv{args.kv}" + (f"_spec{args.spec_k}"
+                                      if args.spec_k else "")),
         "value": round(tps, 2),
         "unit": "decode tokens/s (wall)",
         "requests": args.requests,
         "prompt_len": args.prompt,
         "new_tokens": args.new,
-        "chunk": args.chunk,
+        "chunk": args.chunk if not args.spec_k else 1,
+        "spec_k": args.spec_k,
+        "spec_proposed": server.spec_proposed,
+        "spec_accepted": server.spec_accepted,
         "max_batch": args.max_batch,
         "scheduler_steps": server.steps,
         "preemptions": server.engine.preempt_count,
