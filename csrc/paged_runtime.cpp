@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <list>
 #include <unordered_map>
 #include <vector>
 
@@ -32,8 +33,23 @@ struct Sequence {
   int32_t generated;        // tokens generated so far
   std::vector<int32_t> pages;
   bool running;
+  // Prefix caching: chained content hashes of the prompt's FULL pages
+  // (hash i covers tokens [0, (i+1)*page_size)), and how many leading
+  // pages the last admission satisfied from the cache.
+  std::vector<uint64_t> hashes;
+  int32_t cached = 0;
 
   int32_t total_len() const { return prompt_len + generated; }
+};
+
+// Per-page prefix-cache state. A page is "hashed" once its (fully written,
+// immutable) prompt content was published into the prefix map; hashed pages
+// are refcounted and retire to an LRU instead of the free list, where they
+// stay claimable until evicted for allocation.
+struct PageMeta {
+  int32_t ref = 0;
+  uint64_t hash = 0;
+  bool hashed = false;
 };
 
 struct Engine {
@@ -49,24 +65,98 @@ struct Engine {
   std::vector<int64_t> out_ids;
   std::vector<int32_t> out_page_tables;     // running.size() x max_pages_per_seq
   int64_t preempt_count = 0;
+  // Prefix cache: content hash -> page id, for pages holding published
+  // immutable prompt content. Retired (ref == 0) hashed pages wait in an
+  // LRU; allocation prefers the free list and evicts the LRU only when dry.
+  std::vector<PageMeta> meta;
+  std::unordered_map<uint64_t, int32_t> prefix_map;
+  std::list<int32_t> lru;                   // oldest first
+  std::unordered_map<int32_t, std::list<int32_t>::iterator> lru_pos;
+  int64_t prefix_hits = 0;                  // pages served from the cache
 
   int32_t pages_needed(int32_t tokens) const {
     return (tokens + page_size - 1) / page_size;
   }
 
+  int32_t allocatable() const {
+    return (int32_t)(free_pages.size() + lru.size());
+  }
+
+  void lru_erase(int32_t p) {
+    auto it = lru_pos.find(p);
+    if (it != lru_pos.end()) { lru.erase(it->second); lru_pos.erase(it); }
+  }
+
+  int32_t alloc_page() {
+    if (!free_pages.empty()) {
+      int32_t p = free_pages.back();
+      free_pages.pop_back();
+      return p;
+    }
+    if (!lru.empty()) {  // evict the oldest retired cached page
+      int32_t p = lru.front();
+      lru.pop_front();
+      lru_pos.erase(p);
+      prefix_map.erase(meta[p].hash);
+      meta[p] = PageMeta{};
+      return p;
+    }
+    return -1;
+  }
+
   bool grow_to(Sequence& s, int32_t tokens) {
     int32_t need = pages_needed(tokens);
     while ((int32_t)s.pages.size() < need) {
-      if (free_pages.empty()) return false;
-      s.pages.push_back(free_pages.back());
-      free_pages.pop_back();
+      int32_t p = alloc_page();
+      if (p < 0) return false;
+      meta[p].ref = 1;  // private until published
+      s.pages.push_back(p);
     }
     return true;
   }
 
+  void release_page(int32_t p) {
+    if (meta[p].hashed) {
+      if (--meta[p].ref == 0) {  // retire to the LRU, content retained
+        lru.push_back(p);
+        lru_pos[p] = std::prev(lru.end());
+      }
+    } else {
+      meta[p].ref = 0;
+      free_pages.push_back(p);
+    }
+  }
+
   void release(Sequence& s) {
-    for (int32_t p : s.pages) free_pages.push_back(p);
+    for (int32_t p : s.pages) release_page(p);
     s.pages.clear();
+    s.cached = 0;
+  }
+
+  // Claim the longest published prefix for a pageless sequence. Chained
+  // hashes make a per-page equality check sufficient for whole-prefix
+  // equality. Returns the number of pages claimed.
+  int32_t claim_cached(Sequence& s) {
+    int32_t n = 0;
+    for (uint64_t hsh : s.hashes) {
+      auto it = prefix_map.find(hsh);
+      if (it == prefix_map.end()) break;
+      int32_t p = it->second;
+      if (meta[p].ref == 0) lru_erase(p);
+      meta[p].ref++;
+      s.pages.push_back(p);
+      n++;
+    }
+    prefix_hits += n;
+    return n;
+  }
+
+  void unclaim(Sequence& s) {  // undo claim_cached on failed admission
+    for (auto rit = s.pages.rbegin(); rit != s.pages.rend(); ++rit)
+      release_page(*rit);
+    prefix_hits -= s.cached;  // grow_to may have added private pages too
+    s.pages.clear();
+    s.cached = 0;
   }
 
   void preempt_youngest() {
@@ -99,6 +189,7 @@ void* fa_engine_create(int32_t num_pages, int32_t page_size, int32_t max_batch,
       max_pages_per_seq > 0 ? max_pages_per_seq : num_pages;
   e->free_pages.reserve(num_pages);
   for (int32_t i = num_pages - 1; i >= 0; --i) e->free_pages.push_back(i);
+  e->meta.resize(num_pages);
   return e;
 }
 
@@ -130,6 +221,57 @@ int32_t fa_engine_add_request(void* h, int64_t id, int32_t prompt_len,
   return 0;
 }
 
+// add_request plus chained prompt-page content hashes enabling prefix
+// caching: hash i must cover tokens [0, (i+1) * page_size) — chained, so a
+// per-page match implies the whole prefix matches. At admission the engine
+// claims the longest published prefix (see fa_engine_cached_pages /
+// fa_engine_publish). Only FULL prompt pages may be hashed (a partially
+// filled page receives decode writes and must stay private).
+int32_t fa_engine_add_request_cached(void* h, int64_t id, int32_t prompt_len,
+                                     int32_t max_new_tokens,
+                                     const uint64_t* hashes,
+                                     int32_t n_hashes) {
+  auto* e = static_cast<Engine*>(h);
+  int32_t rc = fa_engine_add_request(h, id, prompt_len, max_new_tokens);
+  if (rc != 0) return rc;
+  auto& s = e->seqs[id];
+  int32_t full = prompt_len / e->page_size;
+  s.hashes.assign(hashes, hashes + std::min(n_hashes, full));
+  return 0;
+}
+
+// Pages of `id`'s prompt satisfied from the prefix cache at its (latest)
+// admission — the prefill can skip the first `cached * page_size` tokens.
+int32_t fa_engine_cached_pages(void* h, int64_t id) {
+  auto* e = static_cast<Engine*>(h);
+  auto it = e->seqs.find(id);
+  return it == e->seqs.end() ? -1 : it->second.cached;
+}
+
+// Publish `id`'s freshly prefilled full prompt pages into the prefix map.
+// Call exactly once per prefill, AFTER the pages hold their final content.
+// A hash already mapped by another live page is skipped (that page keeps
+// ownership of the map entry; this one stays private).
+int32_t fa_engine_publish(void* h, int64_t id) {
+  auto* e = static_cast<Engine*>(h);
+  auto it = e->seqs.find(id);
+  if (it == e->seqs.end()) return -1;
+  auto& s = it->second;
+  for (int32_t i = s.cached; i < (int32_t)s.hashes.size(); ++i) {
+    int32_t p = s.pages[i];
+    if (e->meta[p].hashed) continue;
+    if (e->prefix_map.emplace(s.hashes[i], p).second) {
+      e->meta[p].hashed = true;
+      e->meta[p].hash = s.hashes[i];
+    }
+  }
+  return 0;
+}
+
+int64_t fa_engine_prefix_hits(void* h) {
+  return static_cast<Engine*>(h)->prefix_hits;
+}
+
 // One scheduling step: admit waiting sequences while capacity allows, then
 // allocate pages for one new token per running sequence (preempting the
 // youngest on exhaustion). Returns the number of running sequences.
@@ -138,13 +280,21 @@ int32_t fa_engine_step(void* h) {
   auto* e = static_cast<Engine*>(h);
 
   // Admission: a waiting sequence is admitted if its full prompt plus one
-  // page of headroom fits right now.
+  // page of headroom fits right now (prefix-cache claims count as owned).
   while (!e->waiting.empty() && (int32_t)e->running.size() < e->max_batch) {
     int64_t id = e->waiting.front();
     auto& s = e->seqs[id];
+    bool claimed = false;
+    if (s.pages.empty() && !s.hashes.empty()) {
+      s.cached = e->claim_cached(s);
+      claimed = true;
+    }
     int32_t need = e->pages_needed(s.total_len() + 1) + 1;  // +1 page watermark
-    if ((int32_t)e->free_pages.size() < need - (int32_t)s.pages.size()) break;
-    if (!e->grow_to(s, s.total_len() + 1)) break;
+    if (e->allocatable() < need - (int32_t)s.pages.size() ||
+        !e->grow_to(s, s.total_len() + 1)) {
+      if (claimed) e->unclaim(s);
+      break;
+    }
     s.running = true;
     e->running.push_back(id);
     e->waiting.pop_front();
@@ -207,7 +357,7 @@ int32_t fa_engine_grow_batch(void* h, int32_t n) {
     if (want > e->max_pages_per_seq) return -1;
     need += std::max(0, want - (int32_t)s.pages.size());
   }
-  if (need > (int32_t)e->free_pages.size()) return -1;
+  if (need > e->allocatable()) return -1;
   for (int64_t id : e->running) {
     auto& s = e->seqs[id];
     bool ok = e->grow_to(s, s.total_len() + 1 + n);

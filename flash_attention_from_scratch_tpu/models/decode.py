@@ -393,7 +393,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
 
 def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                     page_table, prompt_len: Optional[int] = None,
-                    chunk_tokens: int = 1024,
+                    chunk_tokens: int = 1024, start_tokens: int = 0,
                     interpret: Optional[bool] = None):
     """Prompt pass in fixed-size chunks: bounded activation memory.
 
@@ -407,18 +407,26 @@ def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     them the same way), so later chunks' K/V round with chunk 0's scale.
 
     chunk_tokens must be a multiple of the flash block (128) and of
-    page_size (chunks write whole pages). Returns (logits (vocab,) fp32,
-    cache).
+    page_size (chunks write whole pages). ``start_tokens`` skips fully
+    cached chunks (prefix caching): their pages must already hold the
+    prompt's K/V. Returns (logits (vocab,) fp32, cache).
     """
     ps = cache.page_size
     if chunk_tokens % 128 or chunk_tokens % ps:
         raise ValueError(
             f"chunk_tokens ({chunk_tokens}) must be a multiple of 128 and "
             f"of page_size ({ps})")
+    if start_tokens % chunk_tokens:
+        raise ValueError(
+            f"start_tokens ({start_tokens}) must be a multiple of "
+            f"chunk_tokens ({chunk_tokens})")
     s = tokens.shape[1]
     prompt_len = prompt_len or s
+    if not start_tokens < prompt_len:
+        raise ValueError(f"start_tokens ({start_tokens}) must leave at "
+                         f"least the last prompt token to compute")
     logits = None
-    for start in range(0, prompt_len, chunk_tokens):
+    for start in range(start_tokens, prompt_len, chunk_tokens):
         end = min(start + chunk_tokens, s)
         write_len = min(prompt_len - start, chunk_tokens)
         last = start + chunk_tokens >= prompt_len

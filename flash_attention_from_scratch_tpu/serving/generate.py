@@ -18,6 +18,8 @@ generated this step writes KV at position ``total_len - 1`` — the slot
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import math
 import time
 from typing import Optional
 
@@ -50,6 +52,23 @@ def _prompt_lookup_draft(ctx: list[int], k: int, ngram: int = 2) -> list[int]:
     return []
 
 
+def _page_hashes(prompt: list[int], page_size: int) -> list[int]:
+    """Chained 64-bit content hashes of the prompt's FULL pages.
+
+    Hash i covers tokens [0, (i+1) * page_size) (each digest feeds the
+    next), so a single per-page map hit implies the whole prefix matches —
+    the prefix-cache key scheme of ``fa_engine_add_request_cached``.
+    """
+    out: list[int] = []
+    digest = b""
+    for i in range(len(prompt) // page_size):
+        blk = np.asarray(prompt[i * page_size:(i + 1) * page_size],
+                         np.int64).tobytes()
+        digest = hashlib.blake2b(digest + blk, digest_size=8).digest()
+        out.append(int.from_bytes(digest, "little"))
+    return out
+
+
 def _pad_to_multiple(tokens: list[int], quantum: int = 128) -> np.ndarray:
     n = len(tokens)
     padded = n + (-n) % quantum
@@ -80,6 +99,7 @@ class GenerationServer:
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  chunk: int = 1, attn_int8: bool = False, mesh=None,
                  prefill_chunk_tokens: int = 0, spec_k: int = 0,
+                 prefix_cache: bool = False,
                  interpret: Optional[bool] = None):
         self.cfg = cfg
         self.mode = mode
@@ -164,6 +184,14 @@ class GenerationServer:
         self.spec_k = spec_k
         self.spec_proposed = 0  # drafted tokens offered to the verifier
         self.spec_accepted = 0  # drafted tokens accepted
+        if prefix_cache and mesh is not None:
+            raise ValueError("prefix_cache + mesh not supported yet "
+                             "(suffix prefill is single-chip chunked)")
+        self.prefix_cache = prefix_cache
+        # Suffix prefill runs in chunks aligned to BOTH the flash block and
+        # the page size, so cached page boundaries are chunk boundaries.
+        self._pc_chunk = (prefill_chunk_tokens
+                          or math.lcm(128, page_size))
         self._key = jax.random.PRNGKey(seed)
         self._stopped: list[int] = []
 
@@ -171,7 +199,12 @@ class GenerationServer:
                stop=()):
         """``stop``: token ids that end the sequence early. The stop token
         itself is kept in the generation (the standard EOS convention)."""
-        self.engine.add_request(seq_id, len(prompt), max_new_tokens)
+        if self.prefix_cache:
+            self.engine.add_request_cached(
+                seq_id, len(prompt), max_new_tokens,
+                _page_hashes(prompt, self.page_size))
+        else:
+            self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[],
                                       max_new=max_new_tokens,
                                       stop=frozenset(stop))
@@ -214,7 +247,22 @@ class GenerationServer:
                 st.generated = []
             if not st.prefilled:
                 padded = _pad_to_multiple(st.prompt)
-                if self.prefill_chunk_tokens:
+                if self.prefix_cache:
+                    # Skip fully cached chunks; their pages hold the K/V
+                    # already (written by the sequence that published them).
+                    chunk = self._pc_chunk
+                    start = min(
+                        self.engine.cached_pages(sid) * self.page_size,
+                        (len(st.prompt) - 1) // chunk * chunk)
+                    start -= start % chunk
+                    logits, self.cache = prefill_chunked(
+                        self.params, jnp.asarray(padded)[None, :], self.cfg,
+                        self.cache, jnp.asarray(batch.page_tables[row]),
+                        prompt_len=len(st.prompt), chunk_tokens=chunk,
+                        start_tokens=start, interpret=self.interpret,
+                    )
+                    self.engine.publish(sid)
+                elif self.prefill_chunk_tokens:
                     logits, self.cache = prefill_chunked(
                         self.params, jnp.asarray(padded)[None, :], self.cfg,
                         self.cache, jnp.asarray(batch.page_tables[row]),

@@ -78,6 +78,16 @@ def _load():
         _lib.fa_engine_commit_n.restype = ctypes.c_int32
         _lib.fa_engine_commit_n.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+        _lib.fa_engine_add_request_cached.restype = ctypes.c_int32
+        _lib.fa_engine_add_request_cached.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32]
+        _lib.fa_engine_cached_pages.restype = ctypes.c_int32
+        _lib.fa_engine_cached_pages.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        _lib.fa_engine_publish.restype = ctypes.c_int32
+        _lib.fa_engine_publish.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        _lib.fa_engine_prefix_hits.restype = ctypes.c_int64
+        _lib.fa_engine_prefix_hits.argtypes = [ctypes.c_void_p]
     return _lib
 
 
@@ -148,6 +158,36 @@ class PagedEngine:
         buf = (ctypes.c_int64 * cap)()
         n = self._lib.fa_engine_commit_tokens(self._h, buf, cap)
         return [buf[i] for i in range(min(n, cap))]
+
+    def add_request_cached(self, seq_id: int, prompt_len: int,
+                           max_new_tokens: int, hashes):
+        """add_request with chained full-prompt-page content hashes: the
+        engine claims the longest published prefix at admission (see
+        ``cached_pages``); after prefilling the remainder, call
+        ``publish``."""
+        n = len(hashes)
+        arr = (ctypes.c_uint64 * max(n, 1))(*[h & (2**64 - 1) for h in hashes])
+        rc = self._lib.fa_engine_add_request_cached(
+            self._h, seq_id, prompt_len, max_new_tokens, arr, n)
+        if rc != 0:
+            raise ValueError(f"request {seq_id} rejected")
+
+    def cached_pages(self, seq_id: int) -> int:
+        """Leading prompt pages served from the prefix cache at admission."""
+        n = self._lib.fa_engine_cached_pages(self._h, seq_id)
+        if n < 0:
+            raise KeyError(f"unknown sequence {seq_id}")
+        return n
+
+    def publish(self, seq_id: int):
+        """Publish a freshly prefilled sequence's full prompt pages into the
+        prefix cache (call once, after the pages hold final content)."""
+        if self._lib.fa_engine_publish(self._h, seq_id) != 0:
+            raise KeyError(f"unknown sequence {seq_id}")
+
+    @property
+    def prefix_hits(self) -> int:
+        return self._lib.fa_engine_prefix_hits(self._h)
 
     def grow_batch(self, n: int) -> bool:
         """Reserve slots for n MORE tokens per running sequence (speculative

@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--spec-k", type=int, default=0,
                     help="speculative decoding with k prompt-lookup draft "
                          "tokens per step (greedy; exclusive with --chunk)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="content-hash prefix caching (shared prompt pages)")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="tokens of prompt shared across all requests "
+                         "(exercises the prefix cache)")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
@@ -61,21 +66,26 @@ def main(argv=None):
         params, cfg, num_pages=num_pages, page_size=args.page_size,
         max_batch=args.max_batch, pages_per_seq=pages_per_seq,
         mode=args.kv, chunk=1 if args.spec_k else args.chunk,
-        spec_k=args.spec_k)
+        spec_k=args.spec_k, prefix_cache=args.prefix_cache)
 
     rng = np.random.default_rng(0)
 
     # Warmup: a couple of same-shaped requests compile every executable the
     # measured run needs (prefill at this padded prompt length, decode at
     # max_batch, decode_loop at each power-of-two chunk tail).
+    shared = rng.integers(1, cfg.vocab_size, args.shared_prefix).tolist()
+
+    def make_prompt():
+        tail = rng.integers(
+            1, cfg.vocab_size, args.prompt - args.shared_prefix).tolist()
+        return shared + tail
+
     for sid in range(2):
-        prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
-        server.submit(10**9 + sid, prompt, args.new)
+        server.submit(10**9 + sid, make_prompt(), args.new)
     server.run()
 
     for sid in range(args.requests):
-        prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
-        server.submit(sid, prompt, args.new)
+        server.submit(sid, make_prompt(), args.new)
 
     t0 = time.perf_counter()
     tps = server.throughput()
@@ -97,6 +107,8 @@ def main(argv=None):
         "spec_k": args.spec_k,
         "spec_proposed": server.spec_proposed,
         "spec_accepted": server.spec_accepted,
+        "prefix_hits_pages": server.engine.prefix_hits
+        if args.prefix_cache else 0,
         "max_batch": args.max_batch,
         "scheduler_steps": server.steps,
         "preemptions": server.engine.preempt_count,
