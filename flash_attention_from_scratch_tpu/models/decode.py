@@ -352,6 +352,8 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
             block_kv=fit(cfg.block_kv, start + c, 128),
             d_head=cfg.d_head, dtype=cfg.dtype,
             causal=True, q_offset=start,
+            window=cfg.sliding_window,
+            optimized_softmax=not cfg.sliding_window,
         )
 
     acfg = chunk_attn_config()
@@ -445,7 +447,8 @@ def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 
 def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
-                                   mode, mesh, interpret, attn_int8=False):
+                                   mode, mesh, interpret, attn_int8=False,
+                                   window=0):
     """Paged decode attention, shard_mapped over tp when a mesh is given.
 
     KV heads (pool dim 0) and Q heads shard over the model axis — the same
@@ -457,7 +460,7 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, page_tables, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            int8_compute=attn_int8, interpret=interpret)
+            int8_compute=attn_int8, window=window, interpret=interpret)
 
     from functools import partial
 
@@ -482,7 +485,7 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, pt, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            int8_compute=attn_int8, interpret=interpret)
+            int8_compute=attn_int8, window=window, interpret=interpret)
 
     return local(q, kp, vp, ks, vs, lengths, page_tables)
 
@@ -598,7 +601,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q, cache.k_pages[li], cache.v_pages[li],
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
-            attn_int8=attn_int8,
+            attn_int8=attn_int8, window=cfg.sliding_window,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         # wo/w_down are row-parallel: pin the residual so their partial
@@ -717,7 +720,7 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q, cache.k_pages[li], cache.v_pages[li],
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
-            attn_int8=attn_int8,
+            attn_int8=attn_int8, window=cfg.sliding_window,
         )  # (batch, heads, t, d)
         out = out.transpose(0, 2, 1, 3).reshape(
             batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)

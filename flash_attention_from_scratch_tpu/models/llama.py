@@ -52,6 +52,10 @@ class LlamaConfig:
     # online-softmax bookkeeping (profiles/autotune_r2.csv).
     block_q: int = 512
     block_kv: int = 2048
+    # Sliding-window attention (Mistral-style): each position attends only
+    # the previous `sliding_window` tokens. 0 = full causal attention.
+    # Inference-only for now (the backward kernels mask plain causal).
+    sliding_window: int = 0
 
     def attn_config(self, seq_len: int) -> KernelConfig:
         def largest_divisor_block(limit: int, quantum: int) -> int:
@@ -72,6 +76,10 @@ class LlamaConfig:
             d_head=self.d_head,
             dtype=self.dtype,
             causal=True,
+            window=self.sliding_window,
+            # The first-KV-block softmax specialization assumes block 0 is
+            # visible, which a window breaks.
+            optimized_softmax=not self.sliding_window,
         )
 
 

@@ -42,6 +42,10 @@ def _fwd(q, k, v, cfg, interpret):
         raise NotImplementedError(
             "q_offset (chunked-prefill offset-causal) is inference-only; "
             "the backward kernels assume top-left causal alignment")
+    if rcfg.window:
+        raise NotImplementedError(
+            "sliding-window attention is inference-only; the backward "
+            "kernels mask plain causal")
     if rcfg.kv_loop != KVLoop.GRID:
         # The residual (LSE) path is only built for the pipelined GRID
         # variant; FORI exists for ladder comparisons, not training.

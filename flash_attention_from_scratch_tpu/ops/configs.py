@@ -160,6 +160,10 @@ class KernelConfig:
     # p runs causal over [prefix | chunk] KV with q_offset = p. 0 keeps the
     # standard top-left alignment (q and kv starts coincide).
     q_offset: int = 0
+    # Sliding window (Mistral-style): q position p attends kv positions
+    # (p - window, p]. 0 disables. Requires causal; KV blocks entirely
+    # below the window are skipped (FORI: never visited; GRID: predicated).
+    window: int = 0
 
     # Resource hints.
     vmem_limit_mb: int = 64
@@ -185,6 +189,15 @@ class KernelConfig:
             raise ValueError(f"q_offset must be >= 0: {self.q_offset}")
         if self.q_offset and not self.causal:
             raise ValueError("q_offset only applies to causal masking")
+        if self.window < 0:
+            raise ValueError(f"window must be >= 0: {self.window}")
+        if self.window and not self.causal:
+            raise ValueError("window only applies to causal masking")
+        if self.window and self.optimized_softmax:
+            raise ValueError(
+                "window + optimized_softmax unsupported: the first-block "
+                "softmax specialization assumes KV block 0 is visible, but "
+                "a window can hide it")
         if self.kv_splits < 1:
             raise ValueError("kv_splits must be >= 1")
         if self.kv_splits > 1 and (
@@ -314,6 +327,8 @@ class KernelConfig:
             flags.append("ca")
         if self.q_offset:
             flags.append(f"qo{self.q_offset}")
+        if self.window:
+            flags.append(f"wi{self.window}")
         flag_s = "+".join(flags) if flags else "none"
         return (
             f"fa_{self.dtype.short}_q{self.block_q}_kv{self.block_kv}"
@@ -342,7 +357,7 @@ def parse_short_form(s: str) -> KernelConfig:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
     kv_splits = q_splits = 1
-    q_offset = 0
+    q_offset = window = 0
     for f in flags:
         if f.startswith("sp") and f[2:].isdigit():
             kv_splits = int(f[2:])
@@ -350,10 +365,13 @@ def parse_short_form(s: str) -> KernelConfig:
             q_splits = int(f[2:])
         if f.startswith("qo") and f[2:].isdigit():
             q_offset = int(f[2:])
+        if f.startswith("wi") and f[2:].isdigit():
+            window = int(f[2:])
     return KernelConfig(
         kv_splits=kv_splits,
         q_splits=q_splits,
         q_offset=q_offset,
+        window=window,
         block_q=int(m.group("bq")),
         block_kv=int(m.group("bkv")),
         d_head=int(m.group("d")),

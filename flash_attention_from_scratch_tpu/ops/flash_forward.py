@@ -91,7 +91,11 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     if cfg.causal:
         q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
+        keep = q_pos >= k_pos
+        if cfg.window:
+            # Sliding window: q position p sees kv positions (p - window, p].
+            keep = jnp.logical_and(keep, q_pos - k_pos < cfg.window)
+        s = jnp.where(keep, s, MASK_VALUE)
 
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1), raw or scaled
     if cfg.fused_scale:
@@ -166,7 +170,10 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
             q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = (kv_start + i * sub
                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
-            s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
+            keep = q_pos >= k_pos
+            if cfg.window:
+                keep = jnp.logical_and(keep, q_pos - k_pos < cfg.window)
+            s = jnp.where(keep, s, MASK_VALUE)
         m_i = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         if cfg.fused_scale:
             m_i = m_i * c
@@ -245,6 +252,10 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
     visible = True
     if cfg.causal:
         visible = kv_start <= q_span + cfg.block_q - 1
+        if cfg.window:
+            # Blocks entirely below every row's window contribute nothing.
+            visible = jnp.logical_and(
+                visible, kv_start + cfg.block_kv - 1 >= q_span - cfg.window + 1)
 
     def compute():
         q_full = q_ref[0, 0]
@@ -317,8 +328,20 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
                 acc_ref[rows, :] = acc
 
     if cfg.causal:
+        if cfg.window:
+            # A window can hide KV block 0 from high Q blocks, so the
+            # scratch init cannot live inside the visible predicate —
+            # initialize unconditionally on the first KV step. (window
+            # forbids optimized_softmax, so compute() always reads scratch.)
+            @pl.when(is_first)
+            def _():
+                m_ref[...] = jnp.full(m_ref.shape, MASK_VALUE, jnp.float32)
+                l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+                acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
         # First processed block (kv_block 0, since causal forbids reverse_kv)
-        # is always visible, so scratch is always initialized before use.
+        # is always visible when window == 0, so scratch is initialized
+        # before use either way.
         @pl.when(visible)
         def _():
             compute()
@@ -425,14 +448,22 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
     if cfg.causal:
         # True early exit: only visible KV blocks are ever visited (the FORI
         # variant's advantage over GRID masking).
-        n_steps = jnp.minimum(
+        last_excl = jnp.minimum(
             (q_span + cfg.block_q + cfg.block_kv - 1) // cfg.block_kv, num_kv
         )
+        if cfg.window:
+            # ...and with a sliding window, blocks entirely below every
+            # row's window are never fetched either.
+            first_block = jnp.maximum(q_span - cfg.window + 1, 0) // cfg.block_kv
+        else:
+            first_block = 0
+        n_steps = last_excl - first_block
     else:
+        first_block = 0
         n_steps = num_kv
 
     def kv_block_of(step):
-        return (num_kv - 1 - step) if cfg.reverse_kv else step
+        return (num_kv - 1 - step) if cfg.reverse_kv else first_block + step
 
     def dma(slot, step):
         blk = kv_block_of(step)

@@ -68,7 +68,7 @@ def _quantize_q_rows(q):
 
 def _full_kernel(page_size: int, d: int, mode: str, scale: float,
                  compute_dtype, max_pages: int, int8_compute: bool,
-                 kv_heads: int, q_tokens: int,
+                 kv_heads: int, q_tokens: int, window: int,
                  # scalar prefetch
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  # inputs
@@ -94,6 +94,15 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
     def n_pages_of(bb):
         return pl.cdiv(lengths_ref[bb], page_size)
 
+    def first_page_of(bb):
+        # Sliding window: pages entirely below every q token's window are
+        # never fetched (the whole point of windows at long context).
+        if not window:
+            return 0
+        first_tok = jnp.maximum(
+            lengths_ref[bb] - (q_tokens - 1) - window, 0)
+        return first_tok // page_size
+
     def dma_pair(slot_idx, h, i, page):
         return (
             pltpu.make_async_copy(k_hbm.at[h, page],
@@ -108,10 +117,11 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
 
     def start_all(slot_idx, bb):
         npg = n_pages_of(bb)
+        fpg = first_page_of(bb)
         for i in range(max_pages):
             page = pt_ref[bb, i]
 
-            @pl.when(i < npg)
+            @pl.when(jnp.logical_and(i < npg, i >= fpg))
             def _(i=i, page=page):
                 for h in range(kv_heads):
                     kd, vd = dma_pair(slot_idx, h, i, page)
@@ -120,10 +130,11 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
 
     def wait_all(slot_idx, bb):
         npg = n_pages_of(bb)
+        fpg = first_page_of(bb)
         for i in range(max_pages):
             page = pt_ref[bb, i]
 
-            @pl.when(i < npg)
+            @pl.when(jnp.logical_and(i < npg, i >= fpg))
             def _(i=i, page=page):
                 for h in range(kv_heads):
                     kd, vd = dma_pair(slot_idx, h, i, page)
@@ -212,15 +223,24 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
             rowj = jax.lax.rem(
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), q_tokens)
             limit = length - (q_tokens - 1) + rowj
-        s = jnp.where(token_pos(col) < limit, s, MASK_VALUE)
+        keep = token_pos(col) < limit
+        if window:
+            # Sliding window: each q token sees (its position - window, pos].
+            keep = jnp.logical_and(keep, token_pos(col) >= limit - window)
+        s = jnp.where(keep, s, MASK_VALUE)
 
         if not int8_compute:
-            # Zero V rows past the length: their P weights are exactly 0,
-            # but never-DMA'd buffer rows can hold non-finite bits and
+            # Zero V rows past the length — and, with a window, below the
+            # first fetched page: their P weights are exactly 0, but
+            # never-DMA'd buffer rows can hold non-finite bits and
             # 0 * NaN = NaN (found by tools/check_races.py with NaN-poisoned
             # interpreter memory). int8 V has no NaN bit patterns.
             vrow = jax.lax.broadcasted_iota(jnp.int32, (v_all.shape[0], 1), 0)
-            v_all = jnp.where(token_pos(vrow) < length, v_all, 0)
+            valid = token_pos(vrow) < length
+            if window:
+                valid = jnp.logical_and(
+                    valid, token_pos(vrow) >= first_page_of(b) * page_size)
+            v_all = jnp.where(valid, v_all, 0)
 
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
@@ -253,6 +273,7 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
 
 def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
                  compute_dtype, int8_compute: bool, q_tokens: int,
+                 window: int,
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  q_ref, k_hbm, v_hbm,
                  o_ref,
@@ -271,9 +292,16 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
                                       sems.at[1, slot])
         return k_dma, v_dma
 
-    @pl.when(n_pages > 0)
+    if window:
+        # Sliding window: never visit pages below every q token's window.
+        first_page = jnp.maximum(
+            length - (q_tokens - 1) - window, 0) // page_size
+    else:
+        first_page = 0
+
+    @pl.when(n_pages > first_page)
     def _():
-        k0, v0 = dma(0, 0)
+        k0, v0 = dma(jax.lax.rem(first_page, 2), first_page)
         k0.start()
         v0.start()
 
@@ -328,10 +356,15 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
             rowj = jax.lax.rem(
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0), q_tokens)
             limit = length - (q_tokens - 1) + rowj
-        s = jnp.where(col < limit, s, MASK_VALUE)
+        keep = col < limit
+        if window:
+            keep = jnp.logical_and(keep, col >= limit - window)
+        s = jnp.where(keep, s, MASK_VALUE)
         if not int8_compute:
             # Zero V rows past the length (0 * NaN = NaN; see _full_kernel
-            # note). int8 V has no NaN bit patterns.
+            # note). int8 V has no NaN bit patterns. With a window the
+            # below-window rows of the first visited page are DMA'd (whole
+            # pages), so only the tail needs zeroing.
             vrow = i * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (v.shape[0], 1), 0)
             v = jnp.where(vrow < length, v, 0)
@@ -363,7 +396,7 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
         jnp.zeros((group, 1), jnp.float32),
         jnp.zeros((group, d), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, n_pages, body, init)
+    m, l, acc = jax.lax.fori_loop(first_page, n_pages, body, init)
     # length-0 rows (possible for decode-batch padding) produce l == 0.
     o_ref[0, 0] = jnp.where(l > 0, acc / jnp.maximum(l, 1e-30), 0.0).astype(
         o_ref.dtype)
@@ -374,7 +407,8 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
                        page_size: int, pages_per_seq: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
                        scale: float, interpret: bool,
-                       int8_compute: bool = False, q_tokens: int = 1):
+                       int8_compute: bool = False, q_tokens: int = 1,
+                       window: int = 0):
     store_dtype = jnp.dtype(store_dtype_name)
     compute_dtype = jnp.dtype(compute_dtype_name)
     # int4 pages are sublane-packed: (page_size // 2, d_head) bytes per page.
@@ -388,7 +422,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         # Grid (batch,): all KV heads per program (see _full_kernel).
         kernel = functools.partial(_full_kernel, page_size, d, mode, scale,
                                    compute_dtype, pages_per_seq, int8_compute,
-                                   kv_heads, q_tokens)
+                                   kv_heads, q_tokens, window)
         scratch = [
             pltpu.VMEM((2, kv_heads, pages_per_seq * buf_rows, d),
                        store_dtype),
@@ -403,7 +437,8 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         semantics = ("arbitrary",)
     else:
         kernel = functools.partial(_loop_kernel, page_size, d, mode, scale,
-                                   compute_dtype, int8_compute, q_tokens)
+                                   compute_dtype, int8_compute, q_tokens,
+                                   window)
         scratch = [
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.VMEM((2, buf_rows, d), store_dtype),
@@ -445,7 +480,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
 def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
                            mode: str = "dense", k_scales=None, v_scales=None,
                            scale: float | None = None,
-                           int8_compute: bool = False,
+                           int8_compute: bool = False, window: int = 0,
                            interpret: bool | None = None):
     """softmax(q K^T * scale) V for 1..t query tokens over a paged KV cache.
 
@@ -467,6 +502,9 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
         The kernel is compute-bound, not DMA-bound; this trades ~0.3%
         extra attention error for ~1.9x kernel throughput.
       k_scales/v_scales: (n_kv_heads, num_pages) fp32, required for quant modes.
+      window: sliding-window attention — each q token sees only the last
+        ``window`` positions up to its own; pages entirely below every
+        token's window are never DMA'd. 0 disables.
 
     Returns q's shape in q's dtype.
     """
@@ -493,10 +531,12 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
     if int8_compute and mode != "int8":
         raise ValueError(f"int8_compute requires mode='int8', got {mode!r}")
 
+    if window < 0:
+        raise ValueError(f"window must be >= 0: {window}")
     fn = _build_decode_call(
         batch, kv_heads, group, d, page_size, pages_per_seq,
         mode, str(k_pages.dtype), str(q.dtype), float(scale), interpret,
-        int8_compute, q_tokens,
+        int8_compute, q_tokens, window,
     )
     # Rows ordered (group, token): row r of a head's tile is group copy
     # r // q_tokens of new token r % q_tokens — matching the kernels' mask.

@@ -23,9 +23,10 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("causal", "scale_override", "q_offset"))
+@partial(jax.jit, static_argnames=("causal", "scale_override", "q_offset",
+                                   "window"))
 def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
-                        q_offset: int | None = None):
+                        q_offset: int | None = None, window: int = 0):
     """Straightforward softmax(QK^T * scale) V in the input dtype.
 
     Shapes: q, k, v are (batch, heads, seq, d_head). Matmuls run in the input
@@ -54,6 +55,10 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
         q_len, k_len = s.shape[-2], s.shape[-1]
         diag = k_len - q_len if q_offset is None else q_offset
         mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k=diag)
+        if window:
+            # Sliding window: q position p sees kv (p - window, p].
+            mask &= ~jnp.tril(jnp.ones((q_len, k_len), dtype=bool),
+                              k=diag - window)
         s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum(
@@ -62,17 +67,19 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
     ).astype(q.dtype)
 
 
-def reference_pair(q, k, v, *, causal: bool = False, q_offset=None):
+def reference_pair(q, k, v, *, causal: bool = False, q_offset=None,
+                   window: int = 0):
     """(native-dtype output, fp32 output) for the adaptive tolerance rule.
 
     Port of the double-oracle setup in ``test/utils.py:137-162``: the fp32
     pass upcasts the same inputs, so ``|ref16 - ref32|`` measures pure
     rounding error of the dtype at this problem size.
     """
-    out_native = reference_attention(q, k, v, causal=causal, q_offset=q_offset)
+    out_native = reference_attention(q, k, v, causal=causal,
+                                     q_offset=q_offset, window=window)
     out_fp32 = reference_attention(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-        causal=causal, q_offset=q_offset,
+        causal=causal, q_offset=q_offset, window=window,
     )
     return out_native, out_fp32
 

@@ -118,6 +118,38 @@ def test_offset_causal(kv_loop, q_offset):
 
 
 @pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+@pytest.mark.parametrize("window", [128, 256, 400])
+def test_sliding_window(kv_loop, window):
+    """Mistral-style window: q position p attends kv (p - window, p]."""
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True, window=window,
+                       optimized_softmax=False, kv_loop=kv_loop)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True,
+                                          q_offset=0, window=window)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"window {window} {kv_loop}: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_sliding_window_with_kv_splits():
+    cfg = KernelConfig(block_q=128, block_kv=512, kv_splits=4, causal=True,
+                       window=300, optimized_softmax=False)
+    q, k, v = generate_qkv(1024, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True,
+                                          q_offset=0, window=300)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"{kerr:.3e} vs {berr:.3e}"
+
+
+def test_window_validation():
+    with pytest.raises(ValueError, match="window"):
+        KernelConfig(window=128)  # requires causal
+    with pytest.raises(ValueError, match="optimized_softmax"):
+        KernelConfig(causal=True, window=128)  # default os=True conflicts
+
+
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
 @pytest.mark.parametrize("causal", [False, True])
 def test_gqa(kv_loop, causal):
     """Grouped-query attention: 4 Q heads share each KV head via index map."""

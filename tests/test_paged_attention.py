@@ -269,3 +269,76 @@ def test_paged_decode_multi_token_loop_variant(monkeypatch):
     err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
     assert err < 0.02, float(err)
     pa._build_decode_call.cache_clear()
+
+
+def _dense_reference_window(q, k_dense, v_dense, lengths, window):
+    batch, heads, d = q.shape
+    kv_heads = k_dense.shape[1]
+    group = heads // kv_heads
+    k = jnp.repeat(k_dense, group, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_dense, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), k) / jnp.sqrt(1.0 * d)
+    pos = jnp.arange(k.shape[2])[None, None, :]
+    L = jnp.asarray(lengths)[:, None, None]
+    mask = (pos < L) & (pos >= L - window)
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bhkd->bhd", p, v)
+
+
+@pytest.mark.parametrize("variant", ["full", "loop"])
+def test_paged_decode_sliding_window(variant, monkeypatch):
+    """Window masks + below-window pages never fetched (both variants)."""
+    import flash_attention_from_scratch_tpu.ops.paged_attention as pa
+
+    if variant == "loop":
+        monkeypatch.setattr(pa, "_FULL_VARIANT_VMEM_CAP", 0)
+        pa._build_decode_call.cache_clear()
+    window = 200
+    lengths = [512, 300, 64]
+    batch, kv_heads, heads, d, page_size, num_pages = 3, 2, 4, 128, 128, 12
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+        num_pages, d)
+    # Poison the below-window pages with NaN: if the kernel fetches or fails
+    # to mask them, the output goes NaN.
+    k_pages = k_pages.at[:, 0].set(jnp.nan)  # page 0 = seq 0 tokens [0,128)
+    v_pages = v_pages.at[:, 0].set(jnp.nan)
+    out = paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths),
+                                 pt, window=window)
+    ref = _dense_reference_window(q, k_dense, v_dense, lengths, window)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    assert err < 0.02, float(err)
+    if variant == "loop":
+        pa._build_decode_call.cache_clear()
+
+
+def test_paged_decode_window_multi_token():
+    """Sliding window composes with multi-token (speculative) queries."""
+    t, window = 3, 150
+    lengths = [384, 200]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 4, 128, 128, 8
+    q = jax.random.normal(jax.random.PRNGKey(1), (batch, heads, t, d),
+                          jnp.float32).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+        num_pages, d)
+    out = paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths),
+                                 pt, window=window)
+    # reference: token j at position L - t + j sees (pos - window, pos]
+    kv_headsq = k_dense.shape[1]
+    group = heads // kv_headsq
+    k = jnp.repeat(k_dense, group, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_dense, group, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhjd,bhkd->bhjk", q.astype(jnp.float32), k) / jnp.sqrt(1.0 * d)
+    pos = (jnp.asarray(lengths)[:, None] - t + jnp.arange(t)[None, :])
+    col = jnp.arange(k.shape[2])[None, None, None, :]
+    mask = (col <= pos[:, None, :, None]) & (col > pos[:, None, :, None] - window)
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhjk,bhkd->bhjd", p, v)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 0.02, float(err)
