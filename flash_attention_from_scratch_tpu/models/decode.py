@@ -30,7 +30,7 @@ from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import (
     LlamaConfig, _mlp as _dense_mlp, _mm, _qkv, apply_rope, rms_norm,
-    rope_tables,
+    rope_inv_freq, rope_tables,
 )
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
@@ -254,7 +254,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     x = pin(params["embed"][tokens])  # (1, s_pad, dim)
     s = tokens.shape[1]
     prompt_len = prompt_len or s
-    cos, sin = rope_tables(s, cfg.d_head, cfg.rope_theta)
+    cos, sin = rope_tables(s, cfg.d_head, cfg.rope_theta, cfg=cfg)
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         b = h.shape[0]
@@ -337,7 +337,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
     x = params["embed"][tokens_chunk]  # (1, c, dim)
     c = tokens_chunk.shape[1]
     compute_dtype = cfg.dtype.jnp_dtype
-    cos, sin = rope_tables(start + c, cfg.d_head, cfg.rope_theta)
+    cos, sin = rope_tables(start + c, cfg.d_head, cfg.rope_theta, cfg=cfg)
     cos, sin = cos[start:], sin[start:]
 
     def chunk_attn_config():
@@ -524,8 +524,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     pos = lengths - 1  # position of the current token
 
     # Per-sequence rope rows, broadcast over heads.
-    inv_freq = 1.0 / (cfg.rope_theta ** (
-        jnp.arange(0, cfg.d_head, 2, dtype=jnp.float32) / cfg.d_head))
+    inv_freq = rope_inv_freq(cfg)
     angles = pos.astype(jnp.float32)[:, None] * inv_freq[None, :]
     cos = jnp.cos(angles)[:, None, None, :]  # (batch, 1, 1, d/2)
     sin = jnp.sin(angles)[:, None, None, :]
@@ -651,8 +650,7 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     x = pin(params["embed"][tokens])  # (batch, t, dim)
     pos = lengths[:, None] - t + jnp.arange(t)[None, :]  # (batch, t)
 
-    inv_freq = 1.0 / (cfg.rope_theta ** (
-        jnp.arange(0, cfg.d_head, 2, dtype=jnp.float32) / cfg.d_head))
+    inv_freq = rope_inv_freq(cfg)
     angles = pos.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
     cos = jnp.cos(angles)[:, None]  # (batch, 1, t, d/2)
     sin = jnp.sin(angles)[:, None]

@@ -21,7 +21,8 @@ from ..ops.configs import DType, KernelConfig
 from ..ops.quant_matmul import QuantizedWeight, quant_matmul, quantize_weight
 
 __all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B",
-           "quantize_params", "init_quantized_params", "fuse_projections"]
+           "quantize_params", "init_quantized_params", "fuse_projections",
+           "rope_inv_freq"]
 
 
 def _mm(x, w):
@@ -56,6 +57,14 @@ class LlamaConfig:
     # the previous `sliding_window` tokens. 0 = full causal attention.
     # Inference-only for now (the backward kernels mask plain causal).
     sliding_window: int = 0
+    # Llama-3.1-style RoPE frequency scaling for long context: wavelengths
+    # beyond `rope_orig_ctx / rope_high_factor` are stretched, up to
+    # `rope_scale_factor` x for wavelengths beyond `rope_orig_ctx /
+    # rope_low_factor`, with a linear ramp between. 0 = no scaling.
+    rope_scale_factor: float = 0.0
+    rope_low_factor: float = 1.0
+    rope_high_factor: float = 4.0
+    rope_orig_ctx: int = 8192
 
     def attn_config(self, seq_len: int) -> KernelConfig:
         def largest_divisor_block(limit: int, quantum: int) -> int:
@@ -234,9 +243,44 @@ def rms_norm(x, weight, eps):
     return (norm * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(seq_len: int, d_head: int, theta: float):
-    """Rotary embedding cos/sin tables, fp32, shape (seq, d_head//2)."""
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, d_head, 2, dtype=jnp.float32) / d_head))
+def rope_inv_freq(cfg: LlamaConfig):
+    """Per-channel inverse frequencies, with optional Llama-3.1 scaling.
+
+    The scaling (rope_scale_factor > 0) stretches long wavelengths so a
+    model trained at rope_orig_ctx generalizes past it: wavelengths shorter
+    than orig/high_factor keep their frequency, longer than orig/low_factor
+    divide by scale_factor, and the band between interpolates smoothly —
+    the published Llama-3.1 recipe.
+    """
+    d_head, theta = cfg.d_head, cfg.rope_theta
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, d_head, 2, dtype=jnp.float32)
+                                / d_head))
+    if not cfg.rope_scale_factor:
+        return inv_freq
+    wavelen = 2.0 * math.pi / inv_freq
+    low_len = cfg.rope_orig_ctx / cfg.rope_low_factor
+    high_len = cfg.rope_orig_ctx / cfg.rope_high_factor
+    # smooth in [0, 1]: 1 at high-frequency end (keep), 0 at low (full scale)
+    smooth = (cfg.rope_orig_ctx / wavelen - cfg.rope_low_factor) / (
+        cfg.rope_high_factor - cfg.rope_low_factor)
+    smooth = jnp.clip(smooth, 0.0, 1.0)
+    scaled = inv_freq / cfg.rope_scale_factor
+    blended = (1.0 - smooth) * scaled + smooth * inv_freq
+    return jnp.where(wavelen < high_len, inv_freq,
+                     jnp.where(wavelen > low_len, scaled, blended))
+
+
+def rope_tables(seq_len: int, d_head: int, theta: float, cfg=None):
+    """Rotary embedding cos/sin tables, fp32, shape (seq, d_head//2).
+
+    Pass ``cfg`` to honor its RoPE scaling; the bare (d_head, theta) form
+    keeps the unscaled behavior.
+    """
+    if cfg is not None:
+        inv_freq = rope_inv_freq(cfg)
+    else:
+        inv_freq = 1.0 / (theta ** (jnp.arange(0, d_head, 2,
+                                               dtype=jnp.float32) / d_head))
     pos = jnp.arange(seq_len, dtype=jnp.float32)
     angles = pos[:, None] * inv_freq[None, :]
     return jnp.cos(angles), jnp.sin(angles)
@@ -306,7 +350,8 @@ def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
 
             pin = _ft.partial(pin_residual, mesh=mesh, seq_dim=1)
     x = pin(params["embed"][tokens])
-    cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta)
+    cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
+                           cfg=cfg)
     for layer in params["layers"]:
         x = pin(x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
                                cfg, cos, sin, interpret=interpret, mesh=mesh))

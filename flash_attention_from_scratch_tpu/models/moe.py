@@ -141,7 +141,8 @@ def _moe_mlp(cfg: MoEConfig, layer, x):
 def moe_forward(params, tokens, cfg: MoEConfig, interpret=None, mesh=None):
     """tokens (batch, seq) -> (logits (batch, seq, vocab) fp32, aux_loss)."""
     x = params["embed"][tokens]
-    cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta)
+    cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
+                           cfg=cfg)
     aux_total = 0.0
     for layer in params["layers"]:
         x = x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),

@@ -129,3 +129,47 @@ def test_fused_params_shard(params, cpu_mesh_devices):
     mesh = make_mesh(1, 2, devices=cpu_mesh_devices[:2])
     sharded = shard_params(fused, mesh)
     assert sharded["layers"][0]["wqkv"].sharding.spec[1] == "tp"
+
+
+def test_rope_scaling_consistency():
+    """Llama-3.1 RoPE scaling: decode matches the scaled forward pass, and
+    scaling actually changes long-wavelength frequencies."""
+    import numpy as np
+
+    from flash_attention_from_scratch_tpu.models.decode import (
+        decode_step, init_cache, prefill)
+    from flash_attention_from_scratch_tpu.models.llama import (
+        LlamaConfig, forward, init_params, rope_inv_freq)
+
+    cfg = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=2,
+                      n_kv_heads=1, d_head=128, hidden_dim=256,
+                      block_q=128, block_kv=128,
+                      rope_scale_factor=8.0, rope_orig_ctx=64)
+    base = LlamaConfig(**{**cfg.__dict__, "rope_scale_factor": 0.0})
+    f_scaled = np.asarray(rope_inv_freq(cfg))
+    f_base = np.asarray(rope_inv_freq(base))
+    assert np.all(f_scaled <= f_base + 1e-9)
+    assert f_scaled[-1] < f_base[-1] / 2  # long wavelengths stretched
+    assert np.allclose(f_scaled[0], f_base[0])  # short ones kept
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    prompt = np.zeros((1, 128), np.int32)
+    prompt[0, :90] = (np.arange(90) * 3 + 1) % 256
+    pt = jnp.asarray([0, 1, 2, -1], jnp.int32)
+    cache = init_cache(cfg, 8, 64)
+    logits, cache = prefill(params, jnp.asarray(prompt), cfg, cache, pt,
+                            prompt_len=90, interpret=True)
+    nxt = jnp.asarray([int(jnp.argmax(logits))], jnp.int32)
+    d_logits, _ = decode_step(params, nxt, cfg, cache,
+                              jnp.asarray([91], jnp.int32), pt[None, :],
+                              interpret=True)
+    # Teacher-force through the scaled dense model.
+    toks = list(prompt[0, :90]) + [int(nxt[0])]
+    arr = np.zeros((1, 128), np.int32)
+    arr[0, :91] = toks
+    ref = forward(params, jnp.asarray(arr), cfg)[0, 90]
+    err = float(jnp.max(jnp.abs(d_logits[0] - ref)))
+    assert err < 0.07, err
+    # And the scaling must matter: unscaled forward differs.
+    ref_base = forward(params, jnp.asarray(arr), base)[0, 90]
+    assert float(jnp.max(jnp.abs(ref - ref_base))) > 0.01
