@@ -74,7 +74,8 @@ def check_fori_forward(num_kv_buffers: int, mode: str, log=print) -> bool:
     return ok
 
 
-def check_paged_decode(pages_per_seq: int, mode: str, log=print) -> bool:
+def check_paged_decode(pages_per_seq: int, mode: str, log=print,
+                       window: int = 0) -> bool:
     from ..ops.paged_attention import paged_decode_attention
 
     batch, kv_heads, heads, d, page_size = 2, 1, 2, 128, 128
@@ -88,10 +89,11 @@ def check_paged_decode(pages_per_seq: int, mode: str, log=print) -> bool:
                                 jnp.float32).astype(jnp.bfloat16)
               for kk in jax.random.split(jax.random.PRNGKey(1)))
     out = jax.block_until_ready(paged_decode_attention(
-        q, kp, vp, jnp.asarray(lengths), pt,
+        q, kp, vp, jnp.asarray(lengths), pt, window=window,
         interpret=_interpret_params(mode)))
+    tag = f"pages={pages_per_seq}" + (f" window={window}" if window else "")
     if mode == "vector-clocks":
-        log(f"  paged decode pages={pages_per_seq}: no races detected")
+        log(f"  paged decode {tag}: no races detected")
         return True
     # Dense oracle from the page pool.
     kd = kp.reshape(kv_heads, batch, pages_per_seq * page_size, d).transpose(1, 0, 2, 3)
@@ -100,12 +102,16 @@ def check_paged_decode(pages_per_seq: int, mode: str, log=print) -> bool:
     kf = jnp.repeat(kd, group, 1).astype(jnp.float32)
     vf = jnp.repeat(vd, group, 1).astype(jnp.float32)
     s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), kf) / jnp.sqrt(1.0 * d)
-    mask = jnp.arange(kf.shape[2])[None, None, :] < jnp.asarray(lengths)[:, None, None]
+    pos = jnp.arange(kf.shape[2])[None, None, :]
+    lens = jnp.asarray(lengths)[:, None, None]
+    mask = pos < lens
+    if window:
+        mask &= pos >= lens - window
     p = jax.nn.softmax(jnp.where(mask, s, -jnp.inf), axis=-1)
     ref = jnp.einsum("bhk,bhkd->bhd", p, vf)
     err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
     ok = np.isfinite(err) and err < 0.05
-    log(f"  paged decode pages={pages_per_seq}: on_wait max|diff|={err:.3e} "
+    log(f"  paged decode {tag}: on_wait max|diff|={err:.3e} "
         f"{'ok' if ok else 'HAZARD'}")
     return ok
 
@@ -125,6 +131,9 @@ def main(argv=None):
         ok &= check_fori_forward(nbuf, args.mode)
     for pages in (2, 6):
         ok &= check_paged_decode(pages, args.mode)
+    # Sliding window: below-window pages are never DMA'd — with poisoned
+    # interpreter memory any mask slip or 0 * NaN leak shows up here.
+    ok &= check_paged_decode(6, args.mode, window=200)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
