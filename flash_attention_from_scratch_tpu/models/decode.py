@@ -35,7 +35,7 @@ from .llama import (
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
            "decode_step", "verify_step", "decode_loop", "greedy_token",
-           "sample_token"]
+           "sample_token", "spec_accept_sample"]
 
 
 def _mlp(layer, h, cfg):
@@ -788,6 +788,86 @@ def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 def greedy_token(logits) -> jax.Array:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_k"))
+def spec_accept_sample(logits, drafts, draft_lens, keys,
+                       temperature: float = 1.0, top_k: int = 0):
+    """Delta-proposal speculative sampling: exact target distribution.
+
+    Given verifier logits for t inputs ([prev, d_1..d_k], so logits[j] is
+    the model's distribution AFTER consuming input j) and the k drafted
+    tokens, accept draft d_{j+1} with probability p_j(d_{j+1}); at the
+    first rejection sample a correction from the residual
+    p_j(x) * 1[x != d_{j+1}] renormalized, and after a fully accepted draft
+    sample the bonus token from p_k. With a deterministic (delta) proposal
+    q = 1[x == d], accept-with-p(d) + renormalized-residual reproduces
+    p exactly: P(x = d) = p(d), P(x != d) = (1 - p(d)) * p(x)/(1 - p(d)).
+
+    Args:
+      logits: (batch, t, vocab) fp32, t = k + 1.
+      drafts: (batch, k) int32, zero-padded past draft_lens.
+      draft_lens: (batch,) int32 — real draft tokens per row (pad slots are
+        never accepted).
+      keys: (batch,) PRNG keys (one stream per sequence — fold positions in
+        before calling so preemption replay stays deterministic).
+
+    Returns (tokens (batch, t) int32, n_emit (batch,) int32): row i emits
+    tokens[i, :n_emit[i]] — accepted drafts then the correction/bonus.
+    Uses the same temperature/top-k shaping as :func:`sample_token`;
+    temperature <= 0 reduces to greedy acceptance.
+    """
+    batch, t, vocab = logits.shape
+    k = t - 1
+    if top_k:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
+    if temperature <= 0.0:
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (batch, t)
+        match = preds[:, :k] == drafts  # greedy acceptance
+    else:
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        probs = jax.nn.softmax(scaled, axis=-1)  # (batch, t, vocab)
+        p_draft = jnp.take_along_axis(
+            probs[:, :k], drafts[..., None], axis=-1)[..., 0]  # (batch, k)
+        u = jax.vmap(lambda kk: jax.random.uniform(
+            jax.random.fold_in(kk, 0), (k,)))(keys)
+        match = u < p_draft
+    match = jnp.logical_and(
+        match, jnp.arange(k)[None, :] < draft_lens[:, None])
+
+    # First rejection index per row (k if the whole draft is accepted).
+    rej = jnp.argmin(jnp.concatenate(
+        [match, jnp.zeros((batch, 1), bool)], axis=1).astype(jnp.int32),
+        axis=1)  # (batch,) in [0, k]
+    n_acc = rej
+
+    # The emitted tail token: position n_acc's distribution, with the
+    # rejected draft removed (residual) — or the bonus from position k.
+    row_logits = jnp.take_along_axis(
+        logits, n_acc[:, None, None], axis=1)[:, 0]  # (batch, vocab)
+    rejected_draft = jnp.take_along_axis(
+        jnp.concatenate([drafts, jnp.zeros((batch, 1), jnp.int32)], axis=1),
+        n_acc[:, None], axis=1)[:, 0]
+    was_rejected = n_acc < k
+    if temperature <= 0.0:
+        tail = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
+    else:
+        onehot = jax.nn.one_hot(rejected_draft, vocab, dtype=bool)
+        residual = jnp.where(was_rejected[:, None] & onehot, -jnp.inf,
+                             row_logits)
+        tail = jax.vmap(lambda lg, kk: jax.random.categorical(
+            jax.random.fold_in(kk, 1),
+            lg / jnp.maximum(temperature, 1e-6)))(residual, keys)
+        tail = tail.astype(jnp.int32)
+
+    pos = jnp.arange(t)[None, :]
+    toks = jnp.where(pos < n_acc[:, None],
+                     jnp.concatenate(
+                         [drafts, jnp.zeros((batch, 1), jnp.int32)], axis=1),
+                     0)
+    toks = jnp.where(pos == n_acc[:, None], tail[:, None], toks)
+    return toks, n_acc + 1
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..models.decode import (
     PagedKVCache, decode_loop, decode_step, greedy_token, init_cache, prefill,
-    prefill_chunked, sample_token, verify_step,
+    prefill_chunked, sample_token, spec_accept_sample, verify_step,
 )
 from ..models.llama import LlamaConfig
 from .runtime import PagedEngine
@@ -170,9 +170,6 @@ class GenerationServer:
                              "(chunked prefill is single-chip)")
         self.prefill_chunk_tokens = prefill_chunk_tokens
         if spec_k:
-            if temperature > 0.0:
-                raise ValueError("speculative decoding is greedy-only "
-                                 "(rejection sampling not implemented)")
             if chunk > 1:
                 raise ValueError("spec_k and chunk>1 are exclusive decode "
                                  "strategies")
@@ -425,19 +422,28 @@ class GenerationServer:
             interpret=self.interpret, attn_int8=self.attn_int8,
             mesh=self.mesh,
         )
-        # One host readback for the whole batch.
-        preds = np.asarray(greedy_token(
-            logits.reshape(-1, logits.shape[-1])).reshape(logits.shape[:2]))
+        # Acceptance fully in-graph (delta-proposal speculative sampling at
+        # temperature > 0 — exactly the target distribution; greedy at 0),
+        # then ONE host readback for the whole batch.
+        draft_lens = np.zeros(self.max_batch, np.int32)
+        for i, d in enumerate(drafts):
+            draft_lens[i] = len(d)
+        keys = jnp.stack([
+            jax.random.fold_in(
+                jax.random.fold_in(self._key, sid),
+                len(self.seqs[sid].generated))
+            for sid in sids] + [self._key] * (self.max_batch - len(sids)))
+        toks_d, n_emit_d = spec_accept_sample(
+            logits, jnp.asarray(inputs[:, 1:]), jnp.asarray(draft_lens),
+            keys, temperature=self.temperature, top_k=self.top_k)
+        toks_np = np.asarray(toks_d)
+        n_emit = np.asarray(n_emit_d)
 
         finished: list[int] = []
         for i, sid in enumerate(sids):
             st = self.seqs[sid]
             draft = drafts[i]
-            out_toks = []
-            for j in range(t):
-                out_toks.append(int(preds[i, j]))
-                if j >= len(draft) or int(preds[i, j]) != draft[j]:
-                    break  # correction emitted; drop the rest of the draft
+            out_toks = [int(x) for x in toks_np[i, :n_emit[i]]]
             self.spec_proposed += len(draft)
             self.spec_accepted += len(out_toks) - 1
             remaining = st.max_new - len(st.generated)
