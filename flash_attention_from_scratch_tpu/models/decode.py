@@ -265,10 +265,12 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if mesh is not None:
-            out = shard_mapped_attention(q, k, v, cfg.attn_config(s), mesh,
+            out = shard_mapped_attention(q, k, v,
+                                         cfg.attn_config(s, layer=li), mesh,
                                          interpret)
         else:
-            out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
+            out = flash_attention(q, k, v, cfg.attn_config(s, layer=li),
+                                  interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
         x = pin(x + _mm(out, layer["wo"]))
         x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
@@ -340,7 +342,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
     cos, sin = rope_tables(start + c, cfg.d_head, cfg.rope_theta, cfg=cfg)
     cos, sin = cos[start:], sin[start:]
 
-    def chunk_attn_config():
+    def chunk_attn_config(window: int):
         def fit(limit, seq, quantum):
             b = min(limit, seq) - (min(limit, seq) % quantum)
             while b >= quantum and seq % b:
@@ -352,11 +354,9 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
             block_kv=fit(cfg.block_kv, start + c, 128),
             d_head=cfg.d_head, dtype=cfg.dtype,
             causal=True, q_offset=start,
-            window=cfg.sliding_window,
-            optimized_softmax=not cfg.sliding_window,
+            window=window,
+            optimized_softmax=not window,
         )
-
-    acfg = chunk_attn_config()
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
@@ -382,7 +382,9 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
                 [v_pref[None], v.astype(compute_dtype)], axis=2)
         else:
             k_full, v_full = k, v
-        out = flash_attention(q, k_full, v_full, acfg, interpret)
+        out = flash_attention(q, k_full, v_full,
+                              chunk_attn_config(cfg.layer_window(li)),
+                              interpret)
         out = out.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.d_head)
         x = x + _mm(out, layer["wo"])
         x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
@@ -600,7 +602,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q, cache.k_pages[li], cache.v_pages[li],
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
-            attn_int8=attn_int8, window=cfg.sliding_window,
+            attn_int8=attn_int8, window=cfg.layer_window(li),
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         # wo/w_down are row-parallel: pin the residual so their partial
@@ -718,7 +720,7 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q, cache.k_pages[li], cache.v_pages[li],
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
-            attn_int8=attn_int8, window=cfg.sliding_window,
+            attn_int8=attn_int8, window=cfg.layer_window(li),
         )  # (batch, heads, t, d)
         out = out.transpose(0, 2, 1, 3).reshape(
             batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)

@@ -57,6 +57,10 @@ class LlamaConfig:
     # the previous `sliding_window` tokens. 0 = full causal attention.
     # Inference-only for now (the backward kernels mask plain causal).
     sliding_window: int = 0
+    # Per-layer window cycle (Gemma-2 / GPT-OSS style): layer i uses
+    # window_pattern[i % len] (0 = global). Overrides sliding_window when
+    # non-empty, e.g. (4096, 0) alternates local/global layers.
+    window_pattern: tuple = ()
     # Llama-3.1-style RoPE frequency scaling for long context: wavelengths
     # beyond `rope_orig_ctx / rope_high_factor` are stretched, up to
     # `rope_scale_factor` x for wavelengths beyond `rope_orig_ctx /
@@ -66,7 +70,13 @@ class LlamaConfig:
     rope_high_factor: float = 4.0
     rope_orig_ctx: int = 8192
 
-    def attn_config(self, seq_len: int) -> KernelConfig:
+    def layer_window(self, li: int) -> int:
+        """Effective sliding window of layer ``li`` (0 = full causal)."""
+        if self.window_pattern:
+            return self.window_pattern[li % len(self.window_pattern)]
+        return self.sliding_window
+
+    def attn_config(self, seq_len: int, layer: int | None = None) -> KernelConfig:
         def largest_divisor_block(limit: int, quantum: int) -> int:
             b = min(limit, seq_len)
             b -= b % quantum
@@ -79,16 +89,18 @@ class LlamaConfig:
                 )
             return b
 
+        window = (self.layer_window(layer) if layer is not None
+                  else self.sliding_window)
         return KernelConfig(
             block_q=largest_divisor_block(self.block_q, 8),
             block_kv=largest_divisor_block(self.block_kv, 128),
             d_head=self.d_head,
             dtype=self.dtype,
             causal=True,
-            window=self.sliding_window,
+            window=window,
             # The first-KV-block softmax specialization assumes block 0 is
             # visible, which a window breaks.
-            optimized_softmax=not self.sliding_window,
+            optimized_softmax=not window,
         )
 
 
@@ -296,7 +308,8 @@ def apply_rope(x, cos, sin):
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
-def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
+def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
+               li: int = 0):
     b, s, _ = x.shape
     q, k, v = _qkv(layer, x, cfg)
     q = q.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
@@ -313,14 +326,15 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None):
         from ..parallel.ring_attention import ring_flash_attention
 
         out = ring_flash_attention(
-            q, k, v, cfg.attn_config(s // mesh.shape["sp"]), mesh,
+            q, k, v, cfg.attn_config(s // mesh.shape["sp"], layer=li), mesh,
             axis="sp", interpret=interpret)
     elif mesh is not None:
         from ..parallel.sharded_attention import shard_mapped_attention
 
-        out = shard_mapped_attention(q, k, v, cfg.attn_config(s), mesh, interpret)
+        out = shard_mapped_attention(q, k, v, cfg.attn_config(s, layer=li),
+                                     mesh, interpret)
     else:
-        out = flash_attention(q, k, v, cfg.attn_config(s), interpret)
+        out = flash_attention(q, k, v, cfg.attn_config(s, layer=li), interpret)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
     return _mm(out, layer["wo"])
 
@@ -352,9 +366,10 @@ def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
     x = pin(params["embed"][tokens])
     cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
                            cfg=cfg)
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         x = pin(x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                               cfg, cos, sin, interpret=interpret, mesh=mesh))
+                               cfg, cos, sin, interpret=interpret, mesh=mesh,
+                               li=li))
         x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32)

@@ -144,9 +144,10 @@ def moe_forward(params, tokens, cfg: MoEConfig, interpret=None, mesh=None):
     cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
                            cfg=cfg)
     aux_total = 0.0
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         x = x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                           cfg, cos, sin, interpret=interpret, mesh=mesh)
+                           cfg, cos, sin, interpret=interpret, mesh=mesh,
+                           li=li)
         h, aux = _moe_mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
         x = x + h
         aux_total = aux_total + aux

@@ -84,3 +84,32 @@ def test_window_training_grad_raises(params):
     tokens = jnp.zeros((1, 129), jnp.int32)
     with pytest.raises(NotImplementedError, match="window"):
         jax.grad(lambda p: loss_fn(p, tokens, CFG))(params)
+
+
+def test_alternating_window_pattern(params):
+    """Gemma-2-style local/global alternation: layer 0 windowed, layer 1
+    global — served tokens match the same pattern's dense forward."""
+    cfg = LlamaConfig(**{**CFG.__dict__, "sliding_window": 0,
+                         "window_pattern": (128, 0)})
+    assert cfg.layer_window(0) == 128 and cfg.layer_window(1) == 0
+    server = GenerationServer(params, cfg, num_pages=32, page_size=64,
+                              max_batch=1, pages_per_seq=8)
+    prompt = [(i * 11 + 2) % 256 for i in range(200)]
+    server.submit(1, prompt, 5)
+    got = server.run()
+    toks = list(prompt)
+    for g in got[1]:
+        s = len(toks)
+        pad = s + (-s) % 128
+        arr = np.zeros((1, pad), np.int32)
+        arr[0, :s] = toks
+        logits = forward(params, jnp.asarray(arr), cfg)[0, s - 1]
+        assert float(logits.max() - logits[g]) <= 0.07, (s, g)
+        toks.append(g)
+    # The pattern differs from both all-global and all-local.
+    pad = len(prompt) + (-len(prompt)) % 128
+    arr = np.zeros((1, pad), np.int32)
+    arr[0, :len(prompt)] = prompt
+    lp = forward(params, jnp.asarray(arr), cfg)[0, len(prompt) - 1]
+    lg_all = forward(params, jnp.asarray(arr), CFG)[0, len(prompt) - 1]
+    assert float(jnp.max(jnp.abs(lp - lg_all))) > 0.005
