@@ -350,8 +350,16 @@ def _mlp(layer, x):
     return _mm(gate * up, layer["w_down"])
 
 
-def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
-    """tokens (batch, seq) int32 -> logits (batch, seq, vocab) fp32."""
+def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None,
+            remat: bool = False):
+    """tokens (batch, seq) int32 -> logits (batch, seq, vocab) fp32.
+
+    ``remat=True`` checkpoints each transformer layer: the backward pass
+    rematerializes layer activations instead of keeping every layer's
+    attention/MLP intermediates alive — peak temp memory drops from
+    O(layers * seq * hidden) to O(seq * hidden) at the cost of one extra
+    forward (the standard FLOPs-for-HBM trade on TPU).
+    """
     pin = lambda x: x  # noqa: E731
     if mesh is not None:
         from ..parallel.mesh import MODEL_AXIS, pin_residual
@@ -366,18 +374,26 @@ def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
     x = pin(params["embed"][tokens])
     cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
                            cfg=cfg)
-    for li, layer in enumerate(params["layers"]):
+
+    def layer_fn(x, layer, li):
         x = pin(x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
                                cfg, cos, sin, interpret=interpret, mesh=mesh,
                                li=li))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
+        return pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+    for li, layer in enumerate(params["layers"]):
+        x = layer_fn(x, layer, li)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _mm(x, params["lm_head"]).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None):
+def loss_fn(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None,
+            remat: bool = False):
     """Next-token cross-entropy (mean over all positions)."""
-    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret, mesh=mesh)
+    logits = forward(params, tokens[:, :-1], cfg, interpret=interpret,
+                     mesh=mesh, remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)

@@ -20,18 +20,21 @@ def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.1):
     return optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=weight_decay)
 
 
-def make_train_step(cfg: LlamaConfig, optimizer=None, interpret=None, mesh=None):
+def make_train_step(cfg: LlamaConfig, optimizer=None, interpret=None,
+                    mesh=None, remat: bool = False):
     """Returns ``step(params, opt_state, tokens) -> (params, opt_state, loss)``.
 
     Not jitted here: callers wrap in ``jax.jit`` with their shardings (the
     driver's multichip dry run does; bench paths jit with defaults).
+    ``remat=True`` checkpoints each layer (see ``llama.forward``).
     """
     if optimizer is None:
         optimizer = make_optimizer()
 
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, tokens, cfg, interpret=interpret, mesh=mesh)
+            lambda p: loss_fn(p, tokens, cfg, interpret=interpret, mesh=mesh,
+                              remat=remat)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -173,3 +173,36 @@ def test_rope_scaling_consistency():
     # And the scaling must matter: unscaled forward differs.
     ref_base = forward(params, jnp.asarray(arr), base)[0, 90]
     assert float(jnp.max(jnp.abs(ref - ref_base))) > 0.01
+
+
+def test_remat_layers():
+    """Per-layer jax.checkpoint: identical grads, recomputation in backward.
+
+    (Peak-memory reduction is scheduler-dependent and validated on real
+    hardware; here we pin the structure — one remat region per layer, extra
+    backward dots — and exact gradient equality.)
+    """
+    from flash_attention_from_scratch_tpu.models.llama import (
+        LlamaConfig, init_params, loss_fn)
+
+    cfg = LlamaConfig(vocab_size=256, dim=256, n_layers=3, n_heads=2,
+                      n_kv_heads=1, d_head=128, hidden_dim=512,
+                      block_q=128, block_kv=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 129), 0, 256)
+
+    g0 = jax.grad(lambda p: loss_fn(p, tokens, cfg, interpret=True))(params)
+    g1 = jax.grad(lambda p: loss_fn(p, tokens, cfg, interpret=True,
+                                    remat=True))(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            a.astype(jnp.float32) - b.astype(jnp.float32)))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+    jx0 = str(jax.make_jaxpr(jax.grad(
+        lambda p: loss_fn(p, tokens, cfg, interpret=True)))(params))
+    jx1 = str(jax.make_jaxpr(jax.grad(
+        lambda p: loss_fn(p, tokens, cfg, interpret=True, remat=True)))(params))
+    assert jx0.count("remat") == 0
+    assert jx1.count("remat") == cfg.n_layers
+    assert jx1.count("dot_general") > jx0.count("dot_general")
