@@ -1,0 +1,89 @@
+"""HF Llama conversion: our forward must match transformers' forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+from flash_attention_from_scratch_tpu.models.convert import (  # noqa: E402
+    config_from_hf, from_hf_llama,
+)
+from flash_attention_from_scratch_tpu.models.llama import forward  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_bias=False, mlp_bias=False,
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    return model
+
+
+def test_config_from_hf(hf_model):
+    cfg = config_from_hf(hf_model.config, block_q=128, block_kv=128)
+    assert (cfg.dim, cfg.n_layers, cfg.n_heads, cfg.n_kv_heads, cfg.d_head) \
+        == (256, 2, 2, 1, 128)
+    assert cfg.hidden_dim == 512 and cfg.vocab_size == 256
+
+
+def test_hf_forward_parity(hf_model):
+    """Converted weights reproduce HF's logits through our flash kernel."""
+    cfg = config_from_hf(hf_model.config, block_q=128, block_kv=128)
+    params, cfg = from_hf_llama(hf_model, cfg, dtype=jnp.float32)
+
+    tokens = np.arange(128)[None, :] % 256
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens), cfg,
+                             interpret=True), np.float32)
+    err = np.max(np.abs(got - ref))
+    # fp32 weights, bf16-free path; differences are kernel-order only.
+    assert err < 2e-2, err
+    # Not vacuous: logits have real dynamic range.
+    assert np.max(np.abs(ref)) > 1.0
+
+
+def test_hf_conversion_quantized_decode(hf_model):
+    """Quantized conversion serves tokens near HF's greedy trajectory."""
+    from flash_attention_from_scratch_tpu.serving.generate import (
+        GenerationServer)
+
+    cfg = config_from_hf(hf_model.config, block_q=128, block_kv=128)
+    params, cfg = from_hf_llama(hf_model, cfg, dtype=jnp.float32,
+                                quantize="int8")
+    server = GenerationServer(params, cfg, num_pages=16, page_size=64,
+                              max_batch=1, pages_per_seq=8)
+    prompt = list(range(10, 40))
+    server.submit(1, prompt, 4)
+    got = server.run()[1]
+    assert len(got) == 4
+
+    toks = list(prompt)
+    for g in got:
+        with torch.no_grad():
+            logits = hf_model(torch.tensor([toks])).logits[0, -1].float()
+        gap = float(logits.max() - logits[g])
+        assert gap <= 0.6, (toks, g, gap)  # int8 weight rounding slack
+        toks.append(g)
+
+
+def test_raw_state_dict_and_tied_embeddings(hf_model):
+    sd = {k: v for k, v in hf_model.state_dict().items()
+          if k != "lm_head.weight"}  # simulate tied embeddings
+    cfg = config_from_hf(hf_model.config, block_q=128, block_kv=128)
+    params, _ = from_hf_llama(sd, cfg, dtype=jnp.float32)
+    assert params["lm_head"].shape == (cfg.dim, cfg.vocab_size)
+    np.testing.assert_array_equal(np.asarray(params["lm_head"]),
+                                  np.asarray(params["embed"]).T)
+    with pytest.raises(ValueError, match="cfg"):
+        from_hf_llama(sd)
