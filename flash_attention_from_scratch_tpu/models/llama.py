@@ -21,6 +21,7 @@ from ..ops.configs import DType, KernelConfig
 from ..ops.quant_matmul import QuantizedWeight, quant_matmul, quantize_weight
 
 __all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B",
+           "LLAMA31_8B", "MISTRAL_7B",
            "quantize_params", "init_quantized_params", "fuse_projections",
            "rope_inv_freq"]
 
@@ -108,6 +109,16 @@ LLAMA3_8B = LlamaConfig(
     vocab_size=128256, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
     d_head=128, hidden_dim=14336,
 )
+
+# Llama 3.1: same architecture + the published long-context RoPE scaling.
+LLAMA31_8B = dataclasses.replace(
+    LLAMA3_8B, rope_scale_factor=8.0, rope_low_factor=1.0,
+    rope_high_factor=4.0, rope_orig_ctx=8192)
+
+# Mistral-7B v0.1 shapes: 4096-token sliding window on every layer.
+MISTRAL_7B = LlamaConfig(
+    vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+    d_head=128, hidden_dim=14336, rope_theta=10000.0, sliding_window=4096)
 
 
 def _dense_init(key, shape, dtype):

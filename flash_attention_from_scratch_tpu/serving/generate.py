@@ -84,6 +84,10 @@ class _SeqState:
     max_new: int = 0
     prefilled: bool = False
     stop: frozenset = frozenset()
+    # Latency bookkeeping (wall clock): submit -> first token -> finished.
+    submit_t: float = 0.0
+    first_t: float = 0.0
+    done_t: float = 0.0
 
 
 class GenerationServer:
@@ -204,7 +208,8 @@ class GenerationServer:
             self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[],
                                       max_new=max_new_tokens,
-                                      stop=frozenset(stop))
+                                      stop=frozenset(stop),
+                                      submit_t=time.perf_counter())
 
     def _pick(self, logits, sid: int):
         """Next-token choice: greedy at temperature 0, sampled otherwise.
@@ -295,7 +300,13 @@ class GenerationServer:
             else:
                 self._decode_one(batch, decode_rows)
 
-        return self._stopped + self.engine.commit()
+        return self._finish_stamp(self._stopped + self.engine.commit())
+
+    def _finish_stamp(self, sids: list[int]) -> list[int]:
+        now = time.perf_counter()
+        for sid in sids:
+            self.seqs[sid].done_t = now
+        return sids
 
     def _append(self, sid: int, tok: int) -> bool:
         """Record one generated token; finish the sequence on a stop token.
@@ -306,6 +317,8 @@ class GenerationServer:
         """
         st = self.seqs[sid]
         st.generated.append(tok)
+        if len(st.generated) == 1:
+            st.first_t = time.perf_counter()
         if tok in st.stop:
             self.engine.finish(sid)
             self._stopped.append(sid)
@@ -458,7 +471,7 @@ class GenerationServer:
                     break
             if not stopped and self.engine.commit_n(sid, n_commit):
                 finished.append(sid)  # budget reached
-        return self._stopped + finished
+        return self._finish_stamp(self._stopped + finished)
 
     def _decode_chunk(self, batch, decode_rows, n: int):
         """One ``decode_loop`` call generating n tokens for every row."""
@@ -535,3 +548,21 @@ class GenerationServer:
         self.run()
         dt = time.perf_counter() - t0
         return (self.decode_tokens - start_tokens) / dt if dt > 0 else 0.0
+
+    def stats(self) -> dict:
+        """Serving counters: one dict for dashboards/benchmark reports."""
+        return {
+            "steps": self.steps,
+            "decode_tokens": self.decode_tokens,
+            "running": self.engine.running,
+            "waiting": self.engine.waiting,
+            "free_pages": self.engine.free_pages,
+            "preemptions": int(self.engine.preempt_count),
+            "spec_proposed": self.spec_proposed,
+            "spec_accepted": self.spec_accepted,
+            "spec_acceptance_rate": (
+                self.spec_accepted / self.spec_proposed
+                if self.spec_proposed else 0.0),
+            "prefix_hit_pages": (int(self.engine.prefix_hits)
+                                 if self.prefix_cache else 0),
+        }

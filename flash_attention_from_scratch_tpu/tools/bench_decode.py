@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import json
 import sys
@@ -27,8 +28,8 @@ import numpy as np
 from ..dispatch import sync
 from ..models.decode import decode_loop, decode_step, init_cache
 from ..models.llama import (
-    LLAMA3_8B, LlamaConfig, fuse_projections, init_quantized_params,
-    init_params,
+    LLAMA3_8B, LLAMA31_8B, MISTRAL_7B, LlamaConfig, fuse_projections,
+    init_quantized_params, init_params,
 )
 from ..ops.quant_matmul import QuantizedWeight
 from ..utils.chip import chip_int8_tops, chip_sol_tflops, device_kind, hbm_gbps
@@ -37,6 +38,8 @@ __all__ = ["main"]
 
 MODELS = {
     "8b": LLAMA3_8B,
+    "8b-3.1": LLAMA31_8B,
+    "mistral-7b": MISTRAL_7B,
     "1b": LlamaConfig(vocab_size=128256, dim=2048, n_layers=16, n_heads=16,
                       n_kv_heads=8, d_head=128, hidden_dim=8192),
     "tiny": LlamaConfig(vocab_size=2048, dim=512, n_layers=4, n_heads=4,
@@ -87,6 +90,9 @@ def main(argv=None):
                     help="run all steps inside one jit (lax.scan): measures "
                          "pure device throughput without per-step dispatch "
                          "(compile cost explodes beyond small models)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="override sliding_window (paged kernel skips pages "
+                         "below the window; big lever at long context)")
     ap.add_argument("--attn-int8", action="store_true",
                     help="int8-compute paged attention: quantized q/P MXU "
                          "dots, no K/V upconverts (int8 KV only)")
@@ -102,6 +108,8 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     cfg = MODELS[args.model]
+    if args.window:
+        cfg = dataclasses.replace(cfg, sliding_window=args.window)
     key = jax.random.PRNGKey(0)
     if args.weights == "bf16":
         params = init_params(cfg, key)
@@ -200,6 +208,9 @@ def main(argv=None):
     warm_tokens = (args.steps if args.scan
                    else args.unroll if args.unroll > 1 else args.warmup)
     mean_ctx = args.context + warm_tokens + args.steps / 2
+    if cfg.sliding_window:
+        # The paged kernel only streams pages inside the window.
+        mean_ctx = min(mean_ctx, cfg.sliding_window)
     kv_read = args.batch * mean_ctx * cfg.n_kv_heads * cfg.n_layers * kv_bytes_per_tok
     step_bytes = pbytes + kv_read
     roofline_tps = hbm_gbps() * 1e9 / step_bytes * args.batch
@@ -222,7 +233,9 @@ def main(argv=None):
         "metric": (f"decode_tokens_per_s_{args.model}_w{args.weights}"
                        + (f"a8" if args.act == "int8" else "")
                        + f"_kv{args.kv}"
-                       + ("i8" if attn_int8 else "")),
+                       + ("i8" if attn_int8 else "")
+                       + (f"_w{cfg.sliding_window}" if cfg.sliding_window
+                          else "")),
         "value": round(tps, 2),
         "unit": "tokens/s/chip",
         "ms_per_step": round(ms_per_step, 3),

@@ -94,6 +94,18 @@ def main(argv=None):
     total_new = sum(len(st.generated) for sid, st in server.seqs.items()
                     if sid < 10**9)  # exclude warmup requests
     assert total_new == args.requests * args.new, "run did not drain fully"
+
+    # Latency percentiles over the measured requests: TTFT = submit to
+    # first token (includes queueing — the serving-level number); TPOT =
+    # time per output token after the first.
+    measured = [st for sid, st in server.seqs.items() if sid < 10**9]
+    ttft = np.array([st.first_t - st.submit_t for st in measured])
+    tpot = np.array([
+        (st.done_t - st.first_t) / max(len(st.generated) - 1, 1)
+        for st in measured if st.done_t > 0])
+
+    def pct(a, q):
+        return round(float(np.percentile(a, q)) * 1e3, 1) if len(a) else None
     print(json.dumps({
         "metric": (f"serving_tokens_per_s_{args.model}_w{args.weights}"
                    f"_kv{args.kv}" + (f"_spec{args.spec_k}"
@@ -113,6 +125,8 @@ def main(argv=None):
         "scheduler_steps": server.steps,
         "preemptions": server.engine.preempt_count,
         "wall_s": round(wall, 2),
+        "ttft_ms_p50": pct(ttft, 50), "ttft_ms_p99": pct(ttft, 99),
+        "tpot_ms_p50": pct(tpot, 50), "tpot_ms_p99": pct(tpot, 99),
         "total_new_tokens": total_new,
         "device": device_kind(),
     }))
