@@ -129,6 +129,27 @@ def from_hf_llama(model_or_state_dict, cfg: LlamaConfig | None = None, *,
             "w_up": w(pre + "mlp.up_proj.weight"),
             "w_down": w(pre + "mlp.down_proj.weight"),
         })
+    consumed = {"embed_tokens.weight", "norm.weight", "lm_head.weight"}
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}."
+        consumed |= {
+            pre + "input_layernorm.weight",
+            pre + "self_attn.q_proj.weight", pre + "self_attn.k_proj.weight",
+            pre + "self_attn.v_proj.weight", pre + "self_attn.o_proj.weight",
+            pre + "post_attention_layernorm.weight",
+            pre + "mlp.gate_proj.weight", pre + "mlp.up_proj.weight",
+            pre + "mlp.down_proj.weight",
+        }
+    leftover = [k for k in sd
+                if k not in consumed and not k.endswith("rotary_emb.inv_freq")]
+    if leftover:
+        # Silently dropping weights (e.g. attention/MLP biases of a
+        # "Llama-compatible" checkpoint) would produce a wrong model with no
+        # signal; refuse instead.
+        raise ValueError(
+            f"unmapped weights in checkpoint (unsupported architecture "
+            f"variant?): {sorted(leftover)[:8]}"
+            + (" ..." if len(leftover) > 8 else ""))
     if quantize:
         params = quantize_params(params, quantize, act=act)
     return params, cfg

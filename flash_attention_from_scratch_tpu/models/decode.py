@@ -811,8 +811,11 @@ def spec_accept_sample(logits, drafts, draft_lens, keys,
       drafts: (batch, k) int32, zero-padded past draft_lens.
       draft_lens: (batch,) int32 — real draft tokens per row (pad slots are
         never accepted).
-      keys: (batch,) PRNG keys (one stream per sequence — fold positions in
-        before calling so preemption replay stays deterministic).
+      keys: (batch,) PRNG keys. Replay caveat: sampled speculative steps
+        draw from a different RNG construction than plain sampled decode,
+        so a preempted sequence replays deterministically only if it takes
+        the same spec/plain path sequence on the way back (greedy always
+        replays exactly).
 
     Returns (tokens (batch, t) int32, n_emit (batch,) int32): row i emits
     tokens[i, :n_emit[i]] — accepted drafts then the correction/bonus.
@@ -851,7 +854,11 @@ def spec_accept_sample(logits, drafts, draft_lens, keys,
     rejected_draft = jnp.take_along_axis(
         jnp.concatenate([drafts, jnp.zeros((batch, 1), jnp.int32)], axis=1),
         n_acc[:, None], axis=1)[:, 0]
-    was_rejected = n_acc < k
+    # A row is a REJECTION only if a real draft token was refused; a fully
+    # accepted short draft (incl. the empty draft) ends with a bonus sample
+    # from the plain distribution — masking the pad token there would skew
+    # it (review finding: `n_acc < k` wrongly banned token id 0).
+    was_rejected = n_acc < draft_lens
     if temperature <= 0.0:
         tail = jnp.argmax(row_logits, axis=-1).astype(jnp.int32)
     else:

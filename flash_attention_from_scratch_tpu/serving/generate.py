@@ -441,11 +441,17 @@ class GenerationServer:
         draft_lens = np.zeros(self.max_batch, np.int32)
         for i, d in enumerate(drafts):
             draft_lens[i] = len(d)
-        keys = jnp.stack([
-            jax.random.fold_in(
-                jax.random.fold_in(self._key, sid),
-                len(self.seqs[sid].generated))
-            for sid in sids] + [self._key] * (self.max_batch - len(sids)))
+        if self.temperature > 0.0:
+            keys = jnp.stack([
+                jax.random.fold_in(
+                    jax.random.fold_in(self._key, sid),
+                    len(self.seqs[sid].generated))
+                for sid in sids] + [self._key] * (self.max_batch - len(sids)))
+        else:
+            # Greedy acceptance never reads the keys: skip 2*batch fold_in
+            # dispatches on the hot path.
+            keys = jnp.broadcast_to(self._key, (self.max_batch,
+                                                *self._key.shape))
         toks_d, n_emit_d = spec_accept_sample(
             logits, jnp.asarray(inputs[:, 1:]), jnp.asarray(draft_lens),
             keys, temperature=self.temperature, top_k=self.top_k)

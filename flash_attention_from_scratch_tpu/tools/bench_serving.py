@@ -51,6 +51,9 @@ def main(argv=None):
                     help="tokens of prompt shared across all requests "
                          "(exercises the prefix cache)")
     args = ap.parse_args(argv)
+    if args.shared_prefix > args.prompt:
+        ap.error(f"--shared-prefix ({args.shared_prefix}) cannot exceed "
+                 f"--prompt ({args.prompt})")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

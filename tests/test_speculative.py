@@ -174,6 +174,21 @@ def test_spec_accept_sample_exact_distribution():
     # Multinomial std ~ sqrt(p(1-p)/n) < 0.004; allow 4 sigma.
     assert np.max(np.abs(emp - p)) < 0.016, (emp, p)
 
+    # EMPTY draft (draft_lens = 0, the common no-lookup-match case): the
+    # bonus token must come from plain p — in particular token id 0 (the
+    # pad value) must NOT be masked out (regression: `n_acc < k` treated
+    # the accepted empty draft as a rejection of pad token 0).
+    def one_empty(key):
+        toks, n_emit = spec_accept_sample(
+            lg, jnp.asarray([[0]], jnp.int32),
+            jnp.asarray([0], jnp.int32), key[None], temperature=1.0)
+        return toks[0, 0]
+
+    first0 = np.asarray(jax.vmap(one_empty)(keys))
+    emp0 = np.bincount(first0, minlength=vocab) / n
+    assert np.max(np.abs(emp0 - p)) < 0.016, (emp0, p)
+    assert emp0[0] > 0.5 * p[0]  # token 0 must be reachable
+
 
 def test_speculative_sampled_serving(params):
     """Temperature spec serving: correct lengths, deterministic with seed."""
