@@ -117,7 +117,7 @@ def from_hf_llama(model_or_state_dict, cfg: LlamaConfig | None = None, *,
     }
     for i in range(cfg.n_layers):
         pre = f"layers.{i}."
-        params["layers"].append({
+        layer = {
             "attn_norm": w(pre + "input_layernorm.weight", transpose=False),
             "wq": w(pre + "self_attn.q_proj.weight"),
             "wk": w(pre + "self_attn.k_proj.weight"),
@@ -128,7 +128,14 @@ def from_hf_llama(model_or_state_dict, cfg: LlamaConfig | None = None, *,
             "w_gate": w(pre + "mlp.gate_proj.weight"),
             "w_up": w(pre + "mlp.up_proj.weight"),
             "w_down": w(pre + "mlp.down_proj.weight"),
-        })
+        }
+        if pre + "self_attn.q_proj.bias" in sd:  # Qwen2-style QKV biases
+            layer["bq"] = w(pre + "self_attn.q_proj.bias", transpose=False)
+            layer["bk"] = w(pre + "self_attn.k_proj.bias", transpose=False)
+            layer["bv"] = w(pre + "self_attn.v_proj.bias", transpose=False)
+        if pre + "self_attn.o_proj.bias" in sd:
+            layer["bo"] = w(pre + "self_attn.o_proj.bias", transpose=False)
+        params["layers"].append(layer)
     consumed = {"embed_tokens.weight", "norm.weight", "lm_head.weight"}
     for i in range(cfg.n_layers):
         pre = f"layers.{i}."
@@ -139,6 +146,8 @@ def from_hf_llama(model_or_state_dict, cfg: LlamaConfig | None = None, *,
             pre + "post_attention_layernorm.weight",
             pre + "mlp.gate_proj.weight", pre + "mlp.up_proj.weight",
             pre + "mlp.down_proj.weight",
+            pre + "self_attn.q_proj.bias", pre + "self_attn.k_proj.bias",
+            pre + "self_attn.v_proj.bias", pre + "self_attn.o_proj.bias",
         }
     leftover = [k for k in sd
                 if k not in consumed and not k.endswith("rotary_emb.inv_freq")]

@@ -29,8 +29,8 @@ from ..ops.configs import KernelConfig
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import (
-    LlamaConfig, _mlp as _dense_mlp, _mm, _qkv, apply_rope, rms_norm,
-    rope_inv_freq, rope_tables,
+    LlamaConfig, _mlp as _dense_mlp, _mm, _o_proj, _qkv, apply_rope,
+    rms_norm, rope_inv_freq, rope_tables,
 )
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
@@ -272,7 +272,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             out = flash_attention(q, k, v, cfg.attn_config(s, layer=li),
                                   interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _o_proj(layer, out))
         x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
         # Causality makes rows [0, prompt_len) independent of the padding
         # rows, so scattering just those rows keeps the cache exact.
@@ -386,7 +386,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
                               chunk_attn_config(cfg.layer_window(li)),
                               interpret)
         out = out.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.d_head)
-        x = x + _mm(out, layer["wo"])
+        x = x + _o_proj(layer, out)
         x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
 
     if want_logit_row < 0:
@@ -607,7 +607,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         # wo/w_down are row-parallel: pin the residual so their partial
         # products all-reduce HERE once (see parallel.mesh.pin_residual).
-        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _o_proj(layer, out))
         x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
@@ -724,7 +724,7 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         )  # (batch, heads, t, d)
         out = out.transpose(0, 2, 1, 3).reshape(
             batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)
-        x = pin(x + _mm(out, layer["wo"]))
+        x = pin(x + _o_proj(layer, out))
         x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)

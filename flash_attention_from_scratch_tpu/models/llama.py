@@ -238,6 +238,10 @@ def fuse_projections(params) -> dict:
             return concat_weights(ws)
         return jnp.concatenate(ws, axis=1)
 
+    if any("bq" in layer for layer in params["layers"]):
+        raise NotImplementedError(
+            "fuse_projections with QKV biases (Qwen2-style) would need a "
+            "fused bias path through _qkv; keep projections unfused")
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
@@ -250,14 +254,31 @@ def fuse_projections(params) -> dict:
 
 
 def _qkv(layer, x, cfg: LlamaConfig):
-    """Project x -> (q, k, v) rows, through the fused weight if present."""
+    """Project x -> (q, k, v) rows, through the fused weight if present.
+
+    Optional per-projection biases (``bq``/``bk``/``bv`` — Qwen2-style
+    checkpoints) add after the matmul; Llama checkpoints carry none.
+    """
     q_dim = cfg.n_heads * cfg.d_head
     kv_dim = cfg.n_kv_heads * cfg.d_head
     if "wqkv" in layer:
         qkv = _mm(x, layer["wqkv"])
         return (qkv[..., :q_dim], qkv[..., q_dim:q_dim + kv_dim],
                 qkv[..., q_dim + kv_dim:])
-    return _mm(x, layer["wq"]), _mm(x, layer["wk"]), _mm(x, layer["wv"])
+    q = _mm(x, layer["wq"])
+    k = _mm(x, layer["wk"])
+    v = _mm(x, layer["wv"])
+    if "bq" in layer:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    return q, k, v
+
+
+def _o_proj(layer, out):
+    """Output projection, plus its bias when the checkpoint carries one."""
+    y = _mm(out, layer["wo"])
+    return y + layer["bo"] if "bo" in layer else y
 
 
 def rms_norm(x, weight, eps):
@@ -347,7 +368,7 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
     else:
         out = flash_attention(q, k, v, cfg.attn_config(s, layer=li), interpret)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-    return _mm(out, layer["wo"])
+    return _o_proj(layer, out)
 
 
 def _mlp(layer, x):

@@ -63,6 +63,10 @@ def llama_param_specs(params) -> dict:
     key_spec = {
         "attn_norm": P(), "mlp_norm": P(),
         "wq": col, "wk": col, "wv": col, "wo": row,
+        # Qwen2-style QKV biases: column-parallel outputs, shard like the
+        # projection's N dim.
+        "bq": P(MODEL_AXIS), "bk": P(MODEL_AXIS), "bv": P(MODEL_AXIS),
+        "bo": P(),  # adds to the (replicated) row-parallel output
         "w_gate": col, "w_up": col, "w_down": row,
         # Fused projections (models.llama.fuse_projections). Column
         # sharding of the concatenated N is semantically fine under GSPMD

@@ -87,3 +87,38 @@ def test_raw_state_dict_and_tied_embeddings(hf_model):
                                   np.asarray(params["embed"]).T)
     with pytest.raises(ValueError, match="cfg"):
         from_hf_llama(sd)
+
+
+def test_qwen2_style_attention_biases():
+    """attention_bias=True checkpoints convert and match HF's forward."""
+    torch.manual_seed(1)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_bias=True, mlp_bias=False,
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg)
+    model.eval()
+    # HF inits biases to zero; give them real values so the test bites.
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(std=0.5)
+    cfg = config_from_hf(model.config, block_q=128, block_kv=128)
+    params, cfg = from_hf_llama(model, cfg, dtype=jnp.float32)
+    assert "bq" in params["layers"][0]
+
+    tokens = (np.arange(128)[None, :] * 3 + 1) % 256
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens), cfg,
+                             interpret=True), np.float32)
+    assert np.max(np.abs(got - ref)) < 2e-2
+
+    # Unsupported leftovers (e.g. o_proj bias) must be refused, not dropped.
+    from flash_attention_from_scratch_tpu.models.llama import fuse_projections
+    with pytest.raises(NotImplementedError, match="fuse"):
+        fuse_projections(params)
