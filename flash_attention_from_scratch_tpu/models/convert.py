@@ -23,7 +23,36 @@ import numpy as np
 from ..ops.configs import DType
 from .llama import LlamaConfig, quantize_params
 
-__all__ = ["from_hf_llama", "config_from_hf"]
+__all__ = ["from_hf_llama", "config_from_hf", "load_hf_checkpoint"]
+
+
+def load_hf_checkpoint(path, cfg: LlamaConfig | None = None, **kw):
+    """Load a HF Llama checkpoint directory straight from safetensors.
+
+    Streams tensors from ``model*.safetensors`` shards without
+    instantiating a torch model (an 8B bf16 torch module would double host
+    memory); config.json supplies the architecture when ``cfg`` is None.
+    Extra keyword args go to :func:`from_hf_llama` (dtype/quantize/act).
+    """
+    import glob
+    import json
+    import os
+    import types
+
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors shards under {path!r}")
+    sd = {}
+    for f in files:
+        with safe_open(f, framework="np") as st:
+            for k in st.keys():
+                sd[k] = st.get_tensor(k)
+    if cfg is None:
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = config_from_hf(types.SimpleNamespace(**json.load(f)))
+    return from_hf_llama(sd, cfg, **kw)
 
 
 def _to_np(t):

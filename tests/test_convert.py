@@ -122,3 +122,20 @@ def test_qwen2_style_attention_biases():
     from flash_attention_from_scratch_tpu.models.llama import fuse_projections
     with pytest.raises(NotImplementedError, match="fuse"):
         fuse_projections(params)
+
+
+def test_load_hf_checkpoint_safetensors(hf_model, tmp_path):
+    """Directory-of-safetensors loading (no torch module instantiation)."""
+    from flash_attention_from_scratch_tpu.models.convert import (
+        load_hf_checkpoint)
+
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+    params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert cfg.dim == 256 and cfg.n_layers == 2
+
+    tokens = np.arange(128)[None, :] % 256
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(tokens)).logits.float().numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens), cfg,
+                             interpret=True), np.float32)
+    assert np.max(np.abs(got - ref)) < 2e-2
