@@ -46,6 +46,10 @@ def _fwd(q, k, v, cfg, interpret):
         raise NotImplementedError(
             "sliding-window attention is inference-only; the backward "
             "kernels mask plain causal")
+    if rcfg.attn_softcap:
+        raise NotImplementedError(
+            "attn_softcap is inference-only; the backward kernels assume "
+            "raw scaled scores")
     if rcfg.kv_loop != KVLoop.GRID:
         # The residual (LSE) path is only built for the pipelined GRID
         # variant; FORI exists for ladder comparisons, not training.

@@ -164,6 +164,11 @@ class KernelConfig:
     # (p - window, p]. 0 disables. Requires causal; KV blocks entirely
     # below the window are skipped (FORI: never visited; GRID: predicated).
     window: int = 0
+    # Attention logit softcapping (Gemma-2): s -> cap * tanh(s / cap) on the
+    # scaled scores, before masking. 0 disables. The tanh runs in whatever
+    # log-base domain the kernel uses (the cap is co-scaled), so it composes
+    # with use_exp2/scale_q.
+    attn_softcap: float = 0.0
 
     # Resource hints.
     vmem_limit_mb: int = 64
@@ -198,6 +203,12 @@ class KernelConfig:
                 "window + optimized_softmax unsupported: the first-block "
                 "softmax specialization assumes KV block 0 is visible, but "
                 "a window can hide it")
+        if self.attn_softcap < 0:
+            raise ValueError(f"attn_softcap must be >= 0: {self.attn_softcap}")
+        if self.attn_softcap and self.fused_scale:
+            raise ValueError(
+                "attn_softcap needs the scaled scores materialized; "
+                "fused_scale defers the scale into the exp pass")
         if self.kv_splits < 1:
             raise ValueError("kv_splits must be >= 1")
         if self.kv_splits > 1 and (
@@ -329,6 +340,8 @@ class KernelConfig:
             flags.append(f"qo{self.q_offset}")
         if self.window:
             flags.append(f"wi{self.window}")
+        if self.attn_softcap:
+            flags.append(f"sc{int(self.attn_softcap)}")
         flag_s = "+".join(flags) if flags else "none"
         return (
             f"fa_{self.dtype.short}_q{self.block_q}_kv{self.block_kv}"
@@ -357,7 +370,7 @@ def parse_short_form(s: str) -> KernelConfig:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
     kv_splits = q_splits = 1
-    q_offset = window = 0
+    q_offset = window = softcap = 0
     for f in flags:
         if f.startswith("sp") and f[2:].isdigit():
             kv_splits = int(f[2:])
@@ -367,11 +380,14 @@ def parse_short_form(s: str) -> KernelConfig:
             q_offset = int(f[2:])
         if f.startswith("wi") and f[2:].isdigit():
             window = int(f[2:])
+        if f.startswith("sc") and f[2:].isdigit():
+            softcap = int(f[2:])
     return KernelConfig(
         kv_splits=kv_splits,
         q_splits=q_splits,
         q_offset=q_offset,
         window=window,
+        attn_softcap=float(softcap),
         block_q=int(m.group("bq")),
         block_kv=int(m.group("bkv")),
         d_head=int(m.group("d")),

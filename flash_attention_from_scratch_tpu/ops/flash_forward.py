@@ -88,6 +88,13 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     elif not cfg.fused_scale:
         s = s * c
 
+    if cfg.attn_softcap:
+        # Gemma-2 logit softcap on the scaled scores. The running stats live
+        # in the log2 domain under use_exp2, so the cap co-scales: with
+        # s = f * s_nat, f*cap*tanh(s_nat/cap) == capf*tanh(s/capf).
+        capf = cfg.attn_softcap * (LOG2E if cfg.use_exp2 else 1.0)
+        s = jnp.tanh(s / capf) * capf
+
     if cfg.causal:
         q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -166,6 +173,9 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
         if not cfg.fused_scale:
             if c != 1.0:
                 s = s * c
+        if cfg.attn_softcap:
+            capf = cfg.attn_softcap * (LOG2E if cfg.use_exp2 else 1.0)
+            s = jnp.tanh(s / capf) * capf
         if cfg.causal:
             q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = (kv_start + i * sub

@@ -68,7 +68,7 @@ def _quantize_q_rows(q):
 
 def _full_kernel(page_size: int, d: int, mode: str, scale: float,
                  compute_dtype, max_pages: int, int8_compute: bool,
-                 kv_heads: int, q_tokens: int, window: int,
+                 kv_heads: int, q_tokens: int, window: int, softcap: float,
                  # scalar prefetch
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  # inputs
@@ -213,6 +213,12 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
                 k_sc, v_sc = k_sc + k_sc, v_sc + v_sc  # lo then hi blocks
             s = _scale_col_blocks(s, k_sc, rows)
 
+        if softcap:
+            # Gemma-2 logit softcap; s is in the log2 domain (scale folded
+            # LOG2E), so the cap co-scales.
+            capf = softcap * LOG2E
+            s = jnp.tanh(s / capf) * capf
+
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if q_tokens == 1:
             limit = length
@@ -273,7 +279,7 @@ def _full_kernel(page_size: int, d: int, mode: str, scale: float,
 
 def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
                  compute_dtype, int8_compute: bool, q_tokens: int,
-                 window: int,
+                 window: int, softcap: float,
                  lengths_ref, pt_ref, ks_ref, vs_ref,
                  q_ref, k_hbm, v_hbm,
                  o_ref,
@@ -349,6 +355,9 @@ def _loop_kernel(page_size: int, d: int, mode: str, scale: float,
             ) * c
         if mode != "dense":
             s = s * ks_ref[hk, page]
+        if softcap:
+            capf = softcap * LOG2E
+            s = jnp.tanh(s / capf) * capf
         col = i * page_size + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if q_tokens == 1:
             limit = length
@@ -408,7 +417,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
                        mode: str, store_dtype_name: str, compute_dtype_name: str,
                        scale: float, interpret: bool,
                        int8_compute: bool = False, q_tokens: int = 1,
-                       window: int = 0):
+                       window: int = 0, softcap: float = 0.0):
     store_dtype = jnp.dtype(store_dtype_name)
     compute_dtype = jnp.dtype(compute_dtype_name)
     # int4 pages are sublane-packed: (page_size // 2, d_head) bytes per page.
@@ -422,7 +431,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
         # Grid (batch,): all KV heads per program (see _full_kernel).
         kernel = functools.partial(_full_kernel, page_size, d, mode, scale,
                                    compute_dtype, pages_per_seq, int8_compute,
-                                   kv_heads, q_tokens, window)
+                                   kv_heads, q_tokens, window, softcap)
         scratch = [
             pltpu.VMEM((2, kv_heads, pages_per_seq * buf_rows, d),
                        store_dtype),
@@ -438,7 +447,7 @@ def _build_decode_call(batch: int, kv_heads: int, group: int, d: int,
     else:
         kernel = functools.partial(_loop_kernel, page_size, d, mode, scale,
                                    compute_dtype, int8_compute, q_tokens,
-                                   window)
+                                   window, softcap)
         scratch = [
             pltpu.VMEM((2, buf_rows, d), store_dtype),
             pltpu.VMEM((2, buf_rows, d), store_dtype),
@@ -481,6 +490,7 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
                            mode: str = "dense", k_scales=None, v_scales=None,
                            scale: float | None = None,
                            int8_compute: bool = False, window: int = 0,
+                           softcap: float = 0.0,
                            interpret: bool | None = None):
     """softmax(q K^T * scale) V for 1..t query tokens over a paged KV cache.
 
@@ -536,7 +546,7 @@ def paged_decode_attention(q, k_pages, v_pages, lengths, page_tables, *,
     fn = _build_decode_call(
         batch, kv_heads, group, d, page_size, pages_per_seq,
         mode, str(k_pages.dtype), str(q.dtype), float(scale), interpret,
-        int8_compute, q_tokens, window,
+        int8_compute, q_tokens, window, float(softcap),
     )
     # Rows ordered (group, token): row r of a head's tile is group copy
     # r // q_tokens of new token r % q_tokens — matching the kernels' mask.

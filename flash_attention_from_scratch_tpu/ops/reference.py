@@ -24,9 +24,10 @@ __all__ = [
 
 
 @partial(jax.jit, static_argnames=("causal", "scale_override", "q_offset",
-                                   "window"))
+                                   "window", "softcap"))
 def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
-                        q_offset: int | None = None, window: int = 0):
+                        q_offset: int | None = None, window: int = 0,
+                        softcap: float = 0.0):
     """Straightforward softmax(QK^T * scale) V in the input dtype.
 
     Shapes: q, k, v are (batch, heads, seq, d_head). Matmuls run in the input
@@ -46,6 +47,8 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     s = s * scale
+    if softcap:
+        s = jnp.tanh(s / softcap) * softcap  # Gemma-2 logit softcap
     if causal:
         # q_offset None = bottom-right alignment (q row i sees kv up to
         # k_len - q_len + i, the flash-attn cross-causal convention);
@@ -68,7 +71,7 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
 
 
 def reference_pair(q, k, v, *, causal: bool = False, q_offset=None,
-                   window: int = 0):
+                   window: int = 0, softcap: float = 0.0):
     """(native-dtype output, fp32 output) for the adaptive tolerance rule.
 
     Port of the double-oracle setup in ``test/utils.py:137-162``: the fp32
@@ -76,10 +79,11 @@ def reference_pair(q, k, v, *, causal: bool = False, q_offset=None,
     rounding error of the dtype at this problem size.
     """
     out_native = reference_attention(q, k, v, causal=causal,
-                                     q_offset=q_offset, window=window)
+                                     q_offset=q_offset, window=window,
+                                     softcap=softcap)
     out_fp32 = reference_attention(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-        causal=causal, q_offset=q_offset, window=window,
+        causal=causal, q_offset=q_offset, window=window, softcap=softcap,
     )
     return out_native, out_fp32
 

@@ -331,3 +331,27 @@ def test_q_splits_validation():
     assert "qs2" in cfg.short_form()
     from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
     assert parse_short_form(cfg.short_form()) == cfg
+
+
+@pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
+@pytest.mark.parametrize("scale_q", [True, False])
+def test_attn_softcap(kv_loop, scale_q):
+    """Gemma-2 logit softcap, composed with exp2 + scale-into-Q."""
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
+                       attn_softcap=50.0, scale_q=scale_q,
+                       kv_loop=kv_loop)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    # Make scores big enough that the cap actually bends them.
+    q = (q.astype(jnp.float32) * 8).astype(jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True,
+                                          q_offset=0, softcap=50.0)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"softcap {kv_loop} sq={scale_q}: {kerr:.3e} vs {berr:.3e}"
+    # And it must differ from the uncapped kernel (the cap bites).
+    out_nocap = flash_forward(q, k, v, KernelConfig(
+        block_q=128, block_kv=128, causal=True, scale_q=scale_q,
+        kv_loop=kv_loop))
+    diff = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - out_nocap.astype(jnp.float32))))
+    assert diff > 1e-3, diff

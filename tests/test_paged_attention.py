@@ -342,3 +342,31 @@ def test_paged_decode_window_multi_token():
     ref = jnp.einsum("bhjk,bhkd->bhjd", p, v)
     err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
     assert err < 0.02, float(err)
+
+
+def test_paged_decode_softcap():
+    """Gemma-2 logit softcap in the decode kernel vs a capped dense oracle."""
+    lengths = [256, 100]
+    batch, kv_heads, heads, d, page_size, num_pages = 2, 2, 4, 128, 128, 8
+    q = (jax.random.normal(jax.random.PRNGKey(1), (batch, heads, d),
+                           jnp.float32) * 8).astype(jnp.bfloat16)
+    k_pages, v_pages, pt, k_dense, v_dense = _make_paged_cache(
+        jax.random.PRNGKey(0), batch, kv_heads, lengths, page_size,
+        num_pages, d)
+    out = paged_decode_attention(q, k_pages, v_pages, jnp.asarray(lengths),
+                                 pt, softcap=20.0)
+    group = heads // kv_heads
+    k = jnp.repeat(k_dense, group, 1).astype(jnp.float32)
+    v = jnp.repeat(v_dense, group, 1).astype(jnp.float32)
+    s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32), k) / jnp.sqrt(1.0 * d)
+    s = jnp.tanh(s / 20.0) * 20.0
+    mask = jnp.arange(k.shape[2])[None, None, :] < jnp.asarray(lengths)[:, None, None]
+    p = jax.nn.softmax(jnp.where(mask, s, -jnp.inf), axis=-1)
+    ref = jnp.einsum("bhk,bhkd->bhd", p, v)
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert err < 0.02, float(err)
+    # The cap must bite.
+    out_nc = paged_decode_attention(q, k_pages, v_pages,
+                                    jnp.asarray(lengths), pt)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - out_nc.astype(jnp.float32)))) > 1e-3
