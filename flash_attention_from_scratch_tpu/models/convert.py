@@ -23,7 +23,93 @@ import numpy as np
 from ..ops.configs import DType
 from .llama import LlamaConfig, quantize_params
 
-__all__ = ["from_hf_llama", "config_from_hf", "load_hf_checkpoint"]
+__all__ = ["from_hf_llama", "from_hf_gemma2", "config_from_hf",
+           "load_hf_checkpoint"]
+
+
+def config_from_hf_gemma2(hf_config, **overrides) -> LlamaConfig:
+    """LlamaConfig for a transformers Gemma2Config.
+
+    Gemma-2 deltas captured by the generic decoder knobs: GeGLU MLP,
+    sandwich norms, sqrt(dim)-scaled embeddings, attention/final logit
+    softcaps, query_pre_attn_scalar attention scale, and the alternating
+    local/global window pattern (layer_types: even layers sliding).
+    """
+    fields = dict(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=hf_config.num_key_value_heads,
+        d_head=hf_config.head_dim,
+        hidden_dim=hf_config.intermediate_size,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        norm_eps=hf_config.rms_norm_eps,
+        mlp_act="gelu",
+        post_norms=True,
+        embed_scale=True,
+        attn_softcap=getattr(hf_config, "attn_logit_softcapping", 0.0) or 0.0,
+        final_softcap=getattr(hf_config, "final_logit_softcapping", 0.0) or 0.0,
+        attn_scale=hf_config.query_pre_attn_scalar ** -0.5,
+        window_pattern=(hf_config.sliding_window, 0),
+    )
+    fields.update(overrides)
+    return LlamaConfig(**fields)
+
+
+def from_hf_gemma2(model, cfg: LlamaConfig | None = None, *,
+                   dtype=jnp.float32):
+    """Convert a transformers Gemma2ForCausalLM to params.
+
+    Gemma RMSNorm scales by (1 + weight); the converter folds the +1 into
+    the stored weight so the framework's plain RMSNorm applies unchanged.
+    Embeddings are always tied (lm_head = embed^T).
+    """
+    if cfg is None:
+        cfg = config_from_hf_gemma2(model.config)
+    cfg_dtype = DType.from_jnp(dtype)
+    if cfg.dtype != cfg_dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dtype=cfg_dtype)
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in model.state_dict().items()}
+    dt = dtype
+
+    def w(name, transpose=True):
+        arr = _to_np(sd.pop(name))
+        return jnp.asarray(arr.T if transpose else arr, dt)
+
+    def norm(name):
+        return jnp.asarray(1.0 + _to_np(sd.pop(name)), dt)
+
+    embed = w("embed_tokens.weight", transpose=False)
+    params = {
+        "embed": embed,
+        "final_norm": norm("norm.weight"),
+        "lm_head": embed.T,
+        "layers": [],
+    }
+    sd.pop("lm_head.weight", None)  # tied
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}."
+        params["layers"].append({
+            "attn_norm": norm(pre + "input_layernorm.weight"),
+            "wq": w(pre + "self_attn.q_proj.weight"),
+            "wk": w(pre + "self_attn.k_proj.weight"),
+            "wv": w(pre + "self_attn.v_proj.weight"),
+            "wo": w(pre + "self_attn.o_proj.weight"),
+            "attn_post_norm": norm(pre + "post_attention_layernorm.weight"),
+            "mlp_norm": norm(pre + "pre_feedforward_layernorm.weight"),
+            "w_gate": w(pre + "mlp.gate_proj.weight"),
+            "w_up": w(pre + "mlp.up_proj.weight"),
+            "w_down": w(pre + "mlp.down_proj.weight"),
+            "mlp_post_norm": norm(pre + "post_feedforward_layernorm.weight"),
+        })
+    leftover = [k for k in sd if not k.endswith("rotary_emb.inv_freq")]
+    if leftover:
+        raise ValueError(f"unmapped Gemma2 weights: {sorted(leftover)[:8]}")
+    return params, cfg
 
 
 def load_hf_checkpoint(path, cfg: LlamaConfig | None = None, **kw):

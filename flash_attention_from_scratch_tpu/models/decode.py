@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -29,13 +30,39 @@ from ..ops.configs import KernelConfig
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
 from .llama import (
-    LlamaConfig, _mlp as _dense_mlp, _mm, _o_proj, _qkv, apply_rope,
-    rms_norm, rope_inv_freq, rope_tables,
+    LlamaConfig, _mlp as _dense_mlp, _mm, _o_proj, _q_scale_ratio, _qkv,
+    apply_rope, rms_norm, rope_inv_freq, rope_tables,
 )
 
 __all__ = ["PagedKVCache", "init_cache", "prefill", "prefill_chunked",
            "decode_step", "verify_step", "decode_loop", "greedy_token",
            "sample_token", "spec_accept_sample"]
+
+
+def _embed(params, tokens, cfg: LlamaConfig):
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
+    return x
+
+
+def _lm_logits(params, h, cfg: LlamaConfig):
+    logits = _mm(h, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits
+
+
+def _residual_tail(cfg: LlamaConfig, layer, x, out, pin=lambda v: v):
+    """Attention-output projection + MLP with optional sandwich norms."""
+    h = _o_proj(layer, out)
+    if cfg.post_norms:
+        h = rms_norm(h, layer["attn_post_norm"], cfg.norm_eps)
+    x = pin(x + h)
+    h = _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+    if cfg.post_norms:
+        h = rms_norm(h, layer["mlp_post_norm"], cfg.norm_eps)
+    return pin(x + h)
 
 
 def _mlp(layer, h, cfg):
@@ -51,7 +78,7 @@ def _mlp(layer, h, cfg):
 
         out, _aux = _moe_mlp(cfg, layer, h)
         return out
-    return _dense_mlp(layer, h)
+    return _dense_mlp(layer, h, cfg)
 
 
 _QMAX = {"int8": 127.0, "int4": 7.0, "fp8": 448.0}
@@ -251,7 +278,7 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                                 v_pages=list(cache.v_pages),
                                 k_scales=list(cache.k_scales),
                                 v_scales=list(cache.v_scales))
-    x = pin(params["embed"][tokens])  # (1, s_pad, dim)
+    x = pin(_embed(params, tokens, cfg))  # (1, s_pad, dim)
     s = tokens.shape[1]
     prompt_len = prompt_len or s
     cos, sin = rope_tables(s, cfg.d_head, cfg.rope_theta, cfg=cfg)
@@ -264,6 +291,8 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         v = v.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if cfg.attn_scale:
+            q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
         if mesh is not None:
             out = shard_mapped_attention(q, k, v,
                                          cfg.attn_config(s, layer=li), mesh,
@@ -272,15 +301,13 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             out = flash_attention(q, k, v, cfg.attn_config(s, layer=li),
                                   interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-        x = pin(x + _o_proj(layer, out))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
+        x = _residual_tail(cfg, layer, x, out, pin)
         # Causality makes rows [0, prompt_len) independent of the padding
         # rows, so scattering just those rows keeps the cache exact.
         cache = _write_prompt_layer(cache, li, k[0, :, :prompt_len],
                                     v[0, :, :prompt_len], page_table, prompt_len)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x[:, prompt_len - 1], params["lm_head"]).astype(jnp.float32)
-    return logits[0], cache
+    return _lm_logits(params, x[:, prompt_len - 1], cfg)[0], cache
 
 
 def _gather_prefix(cache: PagedKVCache, li: int, page_table, start: int,
@@ -336,7 +363,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
                                 v_pages=list(cache.v_pages),
                                 k_scales=list(cache.k_scales),
                                 v_scales=list(cache.v_scales))
-    x = params["embed"][tokens_chunk]  # (1, c, dim)
+    x = _embed(params, tokens_chunk, cfg)  # (1, c, dim)
     c = tokens_chunk.shape[1]
     compute_dtype = cfg.dtype.jnp_dtype
     cos, sin = rope_tables(start + c, cfg.d_head, cfg.rope_theta, cfg=cfg)
@@ -365,6 +392,8 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
         v = v.reshape(1, c, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        if cfg.attn_scale:
+            q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
 
         # Chunk K/V go to pages FIRST: the prefix this chunk's attention
         # reads back is then exactly what decode will read later (one
@@ -386,13 +415,12 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
                               chunk_attn_config(cfg.layer_window(li)),
                               interpret)
         out = out.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.d_head)
-        x = x + _o_proj(layer, out)
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+        x = _residual_tail(cfg, layer, x, out)
 
     if want_logit_row < 0:
         return jnp.zeros((cfg.vocab_size,), jnp.float32), cache
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x[:, want_logit_row], params["lm_head"]).astype(jnp.float32)[0], cache
+    return _lm_logits(params, x[:, want_logit_row], cfg)[0], cache
 
 
 def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
@@ -450,7 +478,7 @@ def prefill_chunked(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 
 def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
                                    mode, mesh, interpret, attn_int8=False,
-                                   window=0):
+                                   window=0, softcap=0.0, scale=None):
     """Paged decode attention, shard_mapped over tp when a mesh is given.
 
     KV heads (pool dim 0) and Q heads shard over the model axis — the same
@@ -462,7 +490,8 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, page_tables, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            int8_compute=attn_int8, window=window, interpret=interpret)
+            int8_compute=attn_int8, window=window, softcap=softcap,
+            scale=scale, interpret=interpret)
 
     from functools import partial
 
@@ -487,7 +516,8 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
             q, kp, vp, lengths, pt, mode=mode,
             k_scales=None if mode == "dense" else ks,
             v_scales=None if mode == "dense" else vs,
-            int8_compute=attn_int8, window=window, interpret=interpret)
+            int8_compute=attn_int8, window=window, softcap=softcap,
+            scale=scale, interpret=interpret)
 
     return local(q, kp, vp, ks, vs, lengths, page_tables)
 
@@ -522,7 +552,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         pin = functools.partial(pin_residual, mesh=mesh)
     # The embed table is dim-sharded; replicate the looked-up rows once here
     # or layer 0's three QKV dots each all-gather them separately.
-    x = pin(params["embed"][tokens][:, None, :])  # (batch, 1, dim)
+    x = pin(_embed(params, tokens, cfg)[:, None, :])  # (batch, 1, dim)
     pos = lengths - 1  # position of the current token
 
     # Per-sequence rope rows, broadcast over heads.
@@ -603,16 +633,15 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
             attn_int8=attn_int8, window=cfg.layer_window(li),
+            softcap=cfg.attn_softcap, scale=cfg.attn_scale or None,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
         # wo/w_down are row-parallel: pin the residual so their partial
         # products all-reduce HERE once (see parallel.mesh.pin_residual).
-        x = pin(x + _o_proj(layer, out))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
+        x = _residual_tail(cfg, layer, x, out, pin)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    logits = _mm(x[:, 0], params["lm_head"]).astype(jnp.float32)
-    return logits, cache
+    return _lm_logits(params, x[:, 0], cfg), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh",
@@ -721,14 +750,14 @@ def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             cache.k_scales[li], cache.v_scales[li],
             lengths, page_tables, cache.mode, mesh, interpret,
             attn_int8=attn_int8, window=cfg.layer_window(li),
+            softcap=cfg.attn_softcap, scale=cfg.attn_scale or None,
         )  # (batch, heads, t, d)
         out = out.transpose(0, 2, 1, 3).reshape(
             batch, t, cfg.n_heads * cfg.d_head).astype(x.dtype)
-        x = pin(x + _o_proj(layer, out))
-        x = pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg))
+        x = _residual_tail(cfg, layer, x, out, pin)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x, params["lm_head"]).astype(jnp.float32), cache
+    return _lm_logits(params, x, cfg), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "steps", "temperature",

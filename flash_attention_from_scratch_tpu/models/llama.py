@@ -62,6 +62,20 @@ class LlamaConfig:
     # window_pattern[i % len] (0 = global). Overrides sliding_window when
     # non-empty, e.g. (4096, 0) alternates local/global layers.
     window_pattern: tuple = ()
+    # --- Gemma-2-family knobs (defaults = plain Llama) ---
+    # "gelu" switches the SwiGLU gate activation to tanh-approx GeLU (GeGLU).
+    mlp_act: str = "silu"
+    # Sandwich norms: extra RMSNorms on the attention and MLP OUTPUTS
+    # (before the residual adds) — params carry attn_post_norm/mlp_post_norm.
+    post_norms: bool = False
+    # Scale the embedding output by sqrt(dim).
+    embed_scale: bool = False
+    # Logit softcaps: attention scores (kernel-fused) and final lm logits.
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    # Attention scale override (Gemma-2 query_pre_attn_scalar**-0.5);
+    # 0 = the standard 1/sqrt(d_head).
+    attn_scale: float = 0.0
     # Llama-3.1-style RoPE frequency scaling for long context: wavelengths
     # beyond `rope_orig_ctx / rope_high_factor` are stretched, up to
     # `rope_scale_factor` x for wavelengths beyond `rope_orig_ctx /
@@ -99,6 +113,7 @@ class LlamaConfig:
             dtype=self.dtype,
             causal=True,
             window=window,
+            attn_softcap=self.attn_softcap,
             # The first-KV-block softmax specialization assumes block 0 is
             # visible, which a window breaks.
             optimized_softmax=not window,
@@ -275,6 +290,12 @@ def _qkv(layer, x, cfg: LlamaConfig):
     return q, k, v
 
 
+def _q_scale_ratio(cfg: LlamaConfig) -> float:
+    """Pre-multiply factor turning the kernel's 1/sqrt(d_head) into
+    cfg.attn_scale (Gemma-2 query_pre_attn_scalar). 1.0 when unset."""
+    return (cfg.attn_scale * math.sqrt(cfg.d_head)) if cfg.attn_scale else 1.0
+
+
 def _o_proj(layer, out):
     """Output projection, plus its bias when the checkpoint carries one."""
     y = _mm(out, layer["wo"])
@@ -349,6 +370,8 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
     v = v.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if cfg.attn_scale:
+        q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
     # GQA is native to the kernel: Q head h reads KV head h // group via the
     # BlockSpec index map, so K/V are never materialized at n_heads width.
     if mesh is not None and "sp" in mesh.axis_names:
@@ -371,14 +394,17 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
     return _o_proj(layer, out)
 
 
-def _mlp(layer, x):
+def _mlp(layer, x, cfg=None):
     if "w_gate_up" in layer:
         gu = _mm(x, layer["w_gate_up"])
         h = gu.shape[-1] // 2
         g, up = gu[..., :h], gu[..., h:]
     else:
         g, up = _mm(x, layer["w_gate"]), _mm(x, layer["w_up"])
-    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+    act = (jax.nn.gelu if cfg is not None and cfg.mlp_act == "gelu"
+           else jax.nn.silu)  # jax.nn.gelu default = tanh approx (HF's
+    # gelu_pytorch_tanh)
+    gate = act(g.astype(jnp.float32)).astype(x.dtype)
     return _mm(gate * up, layer["w_down"])
 
 
@@ -403,22 +429,33 @@ def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None,
             import functools as _ft
 
             pin = _ft.partial(pin_residual, mesh=mesh, seq_dim=1)
-    x = pin(params["embed"][tokens])
+    x = params["embed"][tokens]
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
+    x = pin(x)
     cos, sin = rope_tables(tokens.shape[1], cfg.d_head, cfg.rope_theta,
                            cfg=cfg)
 
     def layer_fn(x, layer, li):
-        x = pin(x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                               cfg, cos, sin, interpret=interpret, mesh=mesh,
-                               li=li))
-        return pin(x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps)))
+        h = _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
+                       cfg, cos, sin, interpret=interpret, mesh=mesh, li=li)
+        if cfg.post_norms:
+            h = rms_norm(h, layer["attn_post_norm"], cfg.norm_eps)
+        x = pin(x + h)
+        h = _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+        if cfg.post_norms:
+            h = rms_norm(h, layer["mlp_post_norm"], cfg.norm_eps)
+        return pin(x + h)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
     for li, layer in enumerate(params["layers"]):
         x = layer_fn(x, layer, li)
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
-    return _mm(x, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(x, params["lm_head"]).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = jnp.tanh(logits / cfg.final_softcap) * cfg.final_softcap
+    return logits
 
 
 def loss_fn(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None,

@@ -62,6 +62,7 @@ def llama_param_specs(params) -> dict:
     col, row = P(None, MODEL_AXIS), P(MODEL_AXIS, None)
     key_spec = {
         "attn_norm": P(), "mlp_norm": P(),
+        "attn_post_norm": P(), "mlp_post_norm": P(),  # Gemma-2 sandwich
         "wq": col, "wk": col, "wv": col, "wo": row,
         # Qwen2-style QKV biases: column-parallel outputs, shard like the
         # projection's N dim.

@@ -139,3 +139,77 @@ def test_load_hf_checkpoint_safetensors(hf_model, tmp_path):
     got = np.asarray(forward(params, jnp.asarray(tokens), cfg,
                              interpret=True), np.float32)
     assert np.max(np.abs(got - ref)) < 2e-2
+
+
+def test_gemma2_forward_parity():
+    """Gemma-2: GeGLU + sandwich norms + softcaps + scaled embeddings +
+    alternating windows — our forward must match transformers' Gemma2."""
+    from flash_attention_from_scratch_tpu.models.convert import (
+        from_hf_gemma2)
+
+    torch.manual_seed(2)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-6, query_pre_attn_scalar=144,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=64, attention_dropout=0.0,
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg)
+    model.eval()
+    params, cfg = from_hf_gemma2(model, dtype=jnp.float32)
+    cfg = __import__("dataclasses").replace(cfg, block_q=128, block_kv=128)
+    assert cfg.mlp_act == "gelu" and cfg.post_norms and cfg.embed_scale
+    assert cfg.window_pattern == (64, 0)
+    assert abs(cfg.attn_scale - 144 ** -0.5) < 1e-9
+
+    tokens = (np.arange(192)[None, :] * 5 + 3) % 256  # > window, 2 layers
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.float().numpy()
+    # seq must be a block multiple for the kernel: pad and compare real rows.
+    pad = np.zeros((1, 256), np.int64)
+    pad[0, :192] = tokens
+    got = np.asarray(forward(params, jnp.asarray(pad), cfg,
+                             interpret=True), np.float32)[:, :192]
+    err = np.max(np.abs(got - ref))
+    assert err < 3e-2, err
+    assert np.max(np.abs(ref)) > 1.0
+
+
+def test_gemma2_serving():
+    """Gemma-2 through the full continuous-batching loop (paged decode with
+    softcap + alternating windows + sandwich norms) vs HF greedy."""
+    from flash_attention_from_scratch_tpu.models.convert import (
+        from_hf_gemma2)
+    from flash_attention_from_scratch_tpu.serving.generate import (
+        GenerationServer)
+
+    torch.manual_seed(2)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-6, query_pre_attn_scalar=144,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=64, attention_dropout=0.0,
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg)
+    model.eval()
+    params, cfg = from_hf_gemma2(model, dtype=jnp.float32)
+    cfg = __import__("dataclasses").replace(cfg, block_q=128, block_kv=128)
+
+    server = GenerationServer(params, cfg, num_pages=16, page_size=64,
+                              max_batch=1, pages_per_seq=8)
+    prompt = [(i * 7 + 1) % 256 for i in range(100)]
+    server.submit(1, prompt, 4)
+    got = server.run()[1]
+    assert len(got) == 4
+
+    toks = list(prompt)
+    for g in got:
+        with torch.no_grad():
+            logits = model(torch.tensor([toks])).logits[0, -1].float()
+        gap = float(logits.max() - logits[g])
+        assert gap <= 0.1, (len(toks), g, int(logits.argmax()), gap)
+        toks.append(g)
