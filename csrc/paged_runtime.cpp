@@ -272,6 +272,12 @@ int64_t fa_engine_prefix_hits(void* h) {
   return static_cast<Engine*>(h)->prefix_hits;
 }
 
+// Retired (ref == 0) cached pages currently parked in the LRU — for exact
+// pool accounting in tests: free + lru + distinct-owned == num_pages.
+int32_t fa_engine_lru_size(void* h) {
+  return (int32_t)static_cast<Engine*>(h)->lru.size();
+}
+
 // One scheduling step: admit waiting sequences while capacity allows, then
 // allocate pages for one new token per running sequence (preempting the
 // youngest on exhaustion). Returns the number of running sequences.

@@ -88,6 +88,8 @@ def _load():
         _lib.fa_engine_publish.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         _lib.fa_engine_prefix_hits.restype = ctypes.c_int64
         _lib.fa_engine_prefix_hits.argtypes = [ctypes.c_void_p]
+        _lib.fa_engine_lru_size.restype = ctypes.c_int32
+        _lib.fa_engine_lru_size.argtypes = [ctypes.c_void_p]
     return _lib
 
 
@@ -188,6 +190,11 @@ class PagedEngine:
     @property
     def prefix_hits(self) -> int:
         return self._lib.fa_engine_prefix_hits(self._h)
+
+    @property
+    def lru_pages(self) -> int:
+        """Retired cached pages awaiting reuse/eviction (accounting)."""
+        return self._lib.fa_engine_lru_size(self._h)
 
     def grow_batch(self, n: int) -> bool:
         """Reserve slots for n MORE tokens per running sequence (speculative
