@@ -1,0 +1,122 @@
+"""Minimal HTTP frontend over GenerationServer (stdlib only, zero deps).
+
+POST /generate   {"prompt": [ids...], "max_new_tokens": N,
+                  "stop": [ids...]?}           -> {"id", "tokens"}
+                 (blocks until the request finishes; the background step
+                 loop keeps batching other requests meanwhile)
+GET  /stats      -> GenerationServer.stats() + queue depths
+GET  /health     -> {"ok": true}
+
+One background thread drives ``server.step()`` whenever work exists; HTTP
+handler threads only enqueue and wait — model calls never run on handler
+threads, so the jit caches and the cache pytree stay single-threaded.
+Token-id-in/token-id-out by design: tokenizers are a client concern (the
+reference framework family ships none either).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .generate import GenerationServer
+
+__all__ = ["ServingFrontend"]
+
+
+class ServingFrontend:
+    """Own a GenerationServer + its step loop; serve HTTP on demand."""
+
+    def __init__(self, server: GenerationServer):
+        self.server = server
+        self._lock = threading.Lock()       # guards submit + seqs access
+        self._done = {}                     # sid -> tokens
+        self._events = {}                   # sid -> threading.Event
+        self._next_id = 1
+        self._stop = threading.Event()
+        self._loop = threading.Thread(target=self._run_loop, daemon=True)
+        self._loop.start()
+
+    def _run_loop(self):
+        while not self._stop.is_set():
+            with self._lock:
+                has_work = self.server.has_work
+                if has_work:
+                    finished = self.server.step()
+                    for sid in finished:
+                        self._done[sid] = list(self.server.seqs[sid].generated)
+                        ev = self._events.pop(sid, None)
+                        if ev is not None:
+                            ev.set()
+            if not has_work:
+                time.sleep(0.002)
+
+    def submit(self, prompt, max_new_tokens: int, stop=()):
+        with self._lock:
+            sid = self._next_id
+            self._next_id += 1
+            ev = threading.Event()
+            self._events[sid] = ev
+            self.server.submit(sid, list(prompt), max_new_tokens,
+                               stop=tuple(stop))
+        return sid, ev
+
+    def generate(self, prompt, max_new_tokens: int, stop=(),
+                 timeout: float = 600.0):
+        sid, ev = self.submit(prompt, max_new_tokens, stop)
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {sid} did not finish in {timeout}s")
+        return sid, self._done.pop(sid)
+
+    def stats(self):
+        with self._lock:
+            out = self.server.stats()
+        out["pending_results"] = len(self._done)
+        return out
+
+    def shutdown(self):
+        self._stop.set()
+        self._loop.join(timeout=5)
+
+    # -- HTTP ---------------------------------------------------------------
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 8000):
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._reply(200, {"ok": True})
+                if self.path == "/stats":
+                    return self._reply(200, frontend.stats())
+                return self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    return self._reply(404, {"error": "unknown path"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    sid, toks = frontend.generate(
+                        [int(t) for t in req["prompt"]],
+                        int(req.get("max_new_tokens", 16)),
+                        stop=tuple(req.get("stop", ())),
+                    )
+                    return self._reply(200, {"id": sid, "tokens": toks})
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    return self._reply(400, {"error": str(e)})
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return ThreadingHTTPServer((host, port), Handler)
