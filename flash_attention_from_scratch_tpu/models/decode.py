@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..ops.configs import KernelConfig
 from ..ops.paged_attention import paged_decode_attention
 from ..ops.quant import KVQuantMode
+from ..ops.quant_matmul import spmd_safe
 from .llama import (
     LlamaConfig, _mlp as _dense_mlp, _mm, _o_proj, _q_scale_ratio, _qkv,
     apply_rope, rms_norm, rope_inv_freq, rope_tables,
@@ -250,6 +251,7 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
 @functools.partial(jax.jit, static_argnames=("cfg", "prompt_len", "interpret",
                                              "mesh"),
                    donate_argnames=("cache",))
+@spmd_safe
 def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             page_table, prompt_len: Optional[int] = None,
             interpret: Optional[bool] = None, mesh=None):
@@ -525,6 +527,7 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh",
                                              "attn_int8"),
                    donate_argnames=("cache",))
+@spmd_safe
 def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, interpret: Optional[bool] = None,
                 mesh=None, attn_int8: bool = False):
@@ -647,6 +650,7 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "mesh",
                                              "attn_int8"),
                    donate_argnames=("cache",))
+@spmd_safe
 def verify_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, interpret: Optional[bool] = None,
                 mesh=None, attn_int8: bool = False):

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from ..ops.autodiff import flash_attention
 from ..ops.configs import DType, KernelConfig
-from ..ops.quant_matmul import QuantizedWeight, quant_matmul, quantize_weight
+from ..ops.quant_matmul import (
+    QuantizedWeight, quant_matmul, quantize_weight,
+    spmd_safe as _spmd_safe_quant,
+)
 
 __all__ = ["LlamaConfig", "init_params", "forward", "loss_fn", "LLAMA3_8B",
            "LLAMA31_8B", "MISTRAL_7B",
@@ -408,6 +411,7 @@ def _mlp(layer, x, cfg=None):
     return _mm(gate * up, layer["w_down"])
 
 
+@_spmd_safe_quant
 def forward(params, tokens, cfg: LlamaConfig, interpret=None, mesh=None,
             remat: bool = False):
     """tokens (batch, seq) int32 -> logits (batch, seq, vocab) fp32.

@@ -23,6 +23,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant_matmul import spmd_safe as _spmd_safe_quant
 from .llama import (
     LlamaConfig, _attention, _dense_init, init_params, rms_norm, rope_tables,
 )
@@ -138,6 +139,7 @@ def _moe_mlp(cfg: MoEConfig, layer, x):
     return out.reshape(b, s, d), aux
 
 
+@_spmd_safe_quant
 def moe_forward(params, tokens, cfg: MoEConfig, interpret=None, mesh=None):
     """tokens (batch, seq) -> (logits (batch, seq, vocab) fp32, aux_loss)."""
     x = params["embed"][tokens]

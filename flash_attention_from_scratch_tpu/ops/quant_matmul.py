@@ -20,6 +20,9 @@ HBM:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import dataclasses
 import functools
 
@@ -31,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import unpack_int4_halves
 
 __all__ = ["QuantizedWeight", "quantize_weight", "quant_matmul",
+           "xla_fallback_mode", "spmd_safe",
            "quantize_activations", "concat_weights"]
 
 _QMAX = {"int8": 127.0, "int4": 7.0}
@@ -446,6 +450,38 @@ def quantize_activations(x, *, qmax: float = 127.0):
     return x_q, scales
 
 
+# GSPMD cannot partition a Mosaic custom call: under a multi-chip mesh the
+# weight-stream Pallas kernel would fail to shard (or silently replicate
+# the weights), so mesh-aware callers flip this trace-time switch and take
+# the XLA fused dequant-matmul path — same math, GSPMD-shardable. The
+# single-chip hot path keeps the kernel. (A custom_partitioning rule for
+# the kernel is the eventual fix.)
+_FORCE_XLA = contextvars.ContextVar("qmm_force_xla", default=False)
+
+
+@contextlib.contextmanager
+def xla_fallback_mode(on: bool = True):
+    """Trace-time switch: route quant_matmul through XLA ops (shardable)."""
+    tok = _FORCE_XLA.set(bool(on))
+    try:
+        yield
+    finally:
+        _FORCE_XLA.reset(tok)
+
+
+def spmd_safe(fn):
+    """Decorator: trace ``fn`` with the XLA quant-matmul path whenever it is
+    called with a non-None ``mesh`` kwarg (GSPMD can shard XLA ops but not
+    the Mosaic kernel). Single-chip calls keep the Pallas weight stream."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with xla_fallback_mode(kwargs.get("mesh") is not None):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
                  block_k: int = 512, block_n: int | None = None,
                  act_quant: bool = False,
@@ -491,7 +527,7 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     bm = _fit_block(block_m, m, 8)
     bk = _fit_block(block_k, k_eff, 128)
     bn = _fit_block(block_n, n, 128)
-    aligned = bm > 0 and bk > 0 and bn > 0
+    aligned = bm > 0 and bk > 0 and bn > 0 and not _FORCE_XLA.get()
     if not aligned:
         if act_quant:
             # Same math as the a8 kernel (exact int32 accumulation in XLA)
