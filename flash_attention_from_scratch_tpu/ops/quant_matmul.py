@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import unpack_int4_halves
 
 __all__ = ["QuantizedWeight", "quantize_weight", "quant_matmul",
-           "xla_fallback_mode", "spmd_safe",
+           "xla_fallback_mode", "spmd_partition_mode", "spmd_safe",
            "quantize_activations", "concat_weights"]
 
 _QMAX = {"int8": 127.0, "int4": 7.0}
@@ -450,6 +450,55 @@ def quantize_activations(x, *, qmax: float = 127.0):
     return x_q, scales
 
 
+def _qmm_local(x_ops, values, scales2, *, mode, act_quant, block_m, block_k,
+               block_n, n_inner, interpret):
+    """Single-device quant matmul on (possibly shard-local) 2-D operands.
+
+    ``x_ops`` is ``x2`` for the weight-only path or ``(x_q, xs)`` for W8A8 /
+    W4A8. Block sizes re-fit to whatever local shapes arrive (a tp shard's
+    N or K slice), falling back to exact-math XLA ops when no MXU-aligned
+    tile exists.
+    """
+    if act_quant:
+        x_q, xs = x_ops
+        m, k = x_q.shape
+    else:
+        x2 = x_ops
+        m, k = x2.shape
+    n = values.shape[1]
+    k_eff = values.shape[0]
+    bm = _fit_block(block_m, m, 8)
+    bk = _fit_block(block_k, k_eff, 128)
+    bn = _fit_block(block_n, n, 128)
+    out_dtype = xs.dtype if act_quant else x2.dtype
+    if not (bm > 0 and bk > 0 and bn > 0):
+        if act_quant:
+            if mode == "int4":
+                lo, hi = unpack_int4_halves(values, jnp.int8)
+                stored = jnp.concatenate([lo, hi], axis=0)
+            else:
+                stored = values
+            acc = jax.lax.dot_general(
+                x_q, stored.astype(jnp.int8), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * xs
+                    * scales2.astype(jnp.float32)).astype(out_dtype)
+        if mode == "int4":
+            lo, hi = unpack_int4_halves(values, jnp.float32)
+            stored_f = jnp.concatenate([lo, hi], axis=0)
+        else:
+            stored_f = values.astype(jnp.float32)
+        deq = stored_f * scales2.astype(jnp.float32)
+        return (x2.astype(jnp.float32) @ deq).astype(out_dtype)
+    cdt = str(out_dtype)
+    if act_quant:
+        fn = _build_qmm_a8(m, k, n, mode, cdt, bm, bk, bn, interpret)
+        return fn(x_q, xs, values, scales2)
+    fn = _build_qmm(m, k, n, mode, cdt, bm, bk, bn, interpret,
+                    n_inner=False)
+    return fn(x2, values, scales2)
+
+
 # GSPMD cannot partition a Mosaic custom call: under a multi-chip mesh the
 # weight-stream Pallas kernel would fail to shard (or silently replicate
 # the weights), so mesh-aware callers flip this trace-time switch and take
@@ -469,15 +518,149 @@ def xla_fallback_mode(on: bool = True):
         _FORCE_XLA.reset(tok)
 
 
+# Under a mesh the kernel path routes through jax.experimental
+# custom_partitioning: each device runs the Pallas weight-stream kernel on
+# its OWN weight shard (column-parallel: local N slice, no comms;
+# row-parallel: local K slice + psum of partial products). The switch is
+# trace-time, flipped by @spmd_safe on the mesh-aware model entry points.
+_SPMD_PARTITION = contextvars.ContextVar("qmm_spmd_partition", default=False)
+
+
+def _spec_of(info):
+    sh = getattr(info, "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if spec is None:
+        return ()
+    return tuple(spec)
+
+
+def _dim_axis(spec, i):
+    return spec[i] if i < len(spec) else None
+
+
+@functools.lru_cache(maxsize=64)
+def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
+                          block_k: int, block_n: int, interpret: bool):
+    """custom_partitioning-wrapped quant matmul for one static config.
+
+    Sharding contract (derived from the WEIGHT operand, matching
+    parallel.mesh.llama_param_specs):
+    - values P(None, tp): column-parallel — x replicated over tp, scales
+      P(None, tp); each shard runs the kernel on its N slice; the result is
+      N-sharded. Zero collectives.
+    - values P(tp, None): row-parallel — x sharded on its K dim, scales
+      replicated; shards compute partial products on their K slice and
+      psum over tp; the result is replicated.
+    - replicated values: plain local call.
+    x's leading (batch/m) dim sharding passes through untouched.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kw = dict(mode=mode, act_quant=act_quant, block_m=block_m,
+              block_k=block_k, block_n=block_n, n_inner=False,
+              interpret=interpret)
+
+    if act_quant:
+        def impl(x_q, xs, values, scales2):
+            return _qmm_local((x_q, xs), values, scales2, **kw)
+        w_idx = 2
+    else:
+        def impl(x2, values, scales2):
+            return _qmm_local(x2, values, scales2, **kw)
+        w_idx = 1
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_infos, result_info):
+        wspec = _spec_of(arg_infos[w_idx])
+        xspec = _spec_of(arg_infos[0])
+        return NamedSharding(
+            mesh, P(_dim_axis(xspec, 0), _dim_axis(wspec, 1)))
+
+    def partition(mesh, arg_infos, result_infos):
+        wspec = _spec_of(arg_infos[w_idx])
+        xspec = _spec_of(arg_infos[0])
+        m_axis = _dim_axis(xspec, 0)
+        k_axis = _dim_axis(wspec, 0)   # row-parallel when set
+        n_axis = _dim_axis(wspec, 1)   # column-parallel when set
+        if k_axis is not None and n_axis is not None:
+            raise NotImplementedError(
+                "quant matmul weights sharded on BOTH dims")
+        if k_axis is not None and mode == "int4":
+            # Half-split nibble pairing: K-dim shards would separate the
+            # lo/hi partners (same reason shard_params rejects it).
+            raise NotImplementedError(
+                "row-parallel int4 quant matmul cannot shard")
+
+        if act_quant:
+            arg_shardings = (
+                NamedSharding(mesh, P(m_axis, k_axis)),   # x_q
+                NamedSharding(mesh, P(m_axis, None)),     # xs (per-row)
+                NamedSharding(mesh, P(k_axis, n_axis)),   # values
+                NamedSharding(mesh, P(None, n_axis)),     # scales2
+            )
+        else:
+            arg_shardings = (
+                NamedSharding(mesh, P(m_axis, k_axis)),
+                NamedSharding(mesh, P(k_axis, n_axis)),
+                NamedSharding(mesh, P(None, n_axis)),
+            )
+        result_sharding = NamedSharding(mesh, P(m_axis, n_axis))
+
+        def lower(*ops):
+            if act_quant:
+                x_q, xs, values, scales2 = ops
+                out = _qmm_local((x_q, xs), values, scales2, **kw)
+            else:
+                x2, values, scales2 = ops
+                out = _qmm_local(x2, values, scales2, **kw)
+            if k_axis is not None:
+                # Row-parallel: shards hold partial products over their K
+                # slice; the dequant scales are linear, so summing the
+                # scaled partials is exact.
+                out = jax.lax.psum(out, k_axis)
+            return out
+
+        return mesh, lower, result_sharding, arg_shardings
+
+    # Shardy (the current propagation backend) additionally wants an
+    # einsum-style factor rule; size-1 dims get their own free factors.
+    # int4 values pack K into K//2 rows: that dim is its OWN factor (h) —
+    # tying it to k would be a factor-size mismatch, which Shardy silently
+    # resolves by replicating the weights (defeating the sharding).
+    wk = "h" if mode == "int4" else "k"
+    rule = (f"m k, m u, {wk} n, v n -> m n" if act_quant
+            else f"m k, {wk} n, v n -> m n")
+    fn.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer,
+                     sharding_rule=rule)
+    return fn
+
+
+@contextlib.contextmanager
+def spmd_partition_mode(on: bool = True):
+    """Trace-time switch: wrap the quant kernel in custom_partitioning so
+    GSPMD runs it shard-locally (see _make_qmm_partitioned)."""
+    tok = _SPMD_PARTITION.set(bool(on))
+    try:
+        yield
+    finally:
+        _SPMD_PARTITION.reset(tok)
+
+
 def spmd_safe(fn):
-    """Decorator: trace ``fn`` with the XLA quant-matmul path whenever it is
-    called with a non-None ``mesh`` kwarg (GSPMD can shard XLA ops but not
-    the Mosaic kernel). Single-chip calls keep the Pallas weight stream."""
+    """Decorator: whenever ``fn`` is called with a non-None ``mesh`` kwarg,
+    quant matmuls trace through the custom_partitioning wrapper — GSPMD
+    then runs the Pallas weight-stream kernel on each device's own weight
+    shard (column-parallel: zero collectives; row-parallel: psum of
+    partials) instead of failing to shard the raw Mosaic custom call.
+    Single-chip calls are untouched."""
     import functools as _ft
 
     @_ft.wraps(fn)
     def wrapper(*args, **kwargs):
-        with xla_fallback_mode(kwargs.get("mesh") is not None):
+        with spmd_partition_mode(kwargs.get("mesh") is not None):
             return fn(*args, **kwargs)
     return wrapper
 
@@ -542,11 +725,16 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
         out = (x2.astype(jnp.float32) @ wq.dequantize().astype(jnp.float32))
         return out.astype(x.dtype).reshape(*lead, n)
 
+    spmd = _SPMD_PARTITION.get()
     if act_quant:
         x_q, xs = quantize_activations(x2)
+        scales = wq.scales.reshape(1, n).astype(jnp.float32)
+        if spmd:
+            pfn = _make_qmm_partitioned(wq.mode, True, block_m, block_k,
+                                        block_n, interpret)
+            return pfn(x_q, xs, wq.values, scales).reshape(*lead, n)
         fn = _build_qmm_a8(m, k, n, wq.mode, str(x.dtype), bm, bk, bn,
                            interpret)
-        scales = wq.scales.reshape(1, n).astype(jnp.float32)
         return fn(x_q, xs, wq.values, scales).reshape(*lead, n)
 
     # The K-outer/N-inner walk needs the full-N fp32 accumulator row in
@@ -556,9 +744,13 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     # strided weight stream), kept as an opt-in for other weight shapes.
     if n_inner is None:
         n_inner = False
+    scales = wq.scales.reshape(1, n).astype(jnp.float32)
+    if spmd:
+        pfn = _make_qmm_partitioned(wq.mode, False, block_m, block_k,
+                                    block_n, interpret)
+        return pfn(x2, wq.values, scales).reshape(*lead, n)
     use_n_inner = (n_inner and wq.mode == "int8"
                    and bm * n * 4 <= 16 * 1024 * 1024)
     fn = _build_qmm(m, k, n, wq.mode, str(x.dtype), bm, bk, bn, interpret,
                     n_inner=use_n_inner)
-    scales = wq.scales.reshape(1, n).astype(jnp.float32)
     return fn(x2, wq.values, scales).reshape(*lead, n)

@@ -116,3 +116,67 @@ def test_quant_matmul_batched_input():
     assert got.shape == (2, 4, 384)
     want = quant_matmul(x, wq).reshape(2, 4, 384)
     assert jnp.allclose(got.astype(jnp.float32), want.astype(jnp.float32))
+
+
+def test_partitioned_quant_matmul_tp():
+    """custom_partitioning: the quant kernel runs shard-locally under GSPMD.
+
+    Column-parallel must be bit-identical to the single-device kernel (no
+    collectives); row-parallel (int8) psums exact partials; int4
+    row-parallel is rejected by design.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import flash_attention_from_scratch_tpu.ops.quant_matmul as qm
+    from flash_attention_from_scratch_tpu.ops.quant_matmul import (
+        quant_matmul, quantize_weight, spmd_partition_mode)
+    from flash_attention_from_scratch_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, 4, devices=jax.devices("cpu")[:4])
+    k, n, m = 512, 1024, 16
+    w = (jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+         * 0.05).astype(jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, k),
+                          jnp.float32).astype(jnp.bfloat16)
+
+    def shard(wq, vspec):
+        sspec = P(vspec[1]) if len(vspec) > 1 and vspec[1] else P()
+        return qm.QuantizedWeight(
+            jax.device_put(wq.values, NamedSharding(mesh, vspec)),
+            jax.device_put(wq.scales, NamedSharding(mesh, sspec)),
+            wq.mode, wq.orig_dtype, wq.act)
+
+    for mode, act, vspec, tol in [
+        ("int8", False, P(None, "tp"), 0.0),
+        ("int8", False, P("tp", None), 1e-6),
+        ("int8", True, P(None, "tp"), 2e-2),
+        ("int4", False, P(None, "tp"), 0.0),
+    ]:
+        wq = quantize_weight(w, mode, "int8" if act else "bf16")
+        ref = quant_matmul(x, wq, act_quant=act)
+        wq_s = shard(wq, vspec)
+
+        def f(x, wq_s=wq_s, act=act):
+            with spmd_partition_mode():
+                return quant_matmul(x, wq_s, act_quant=act)
+
+        out = jax.jit(f)(jax.device_put(x, NamedSharding(mesh, P())))
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        assert err <= tol, (mode, act, tuple(vspec), err)
+
+    # int4 row-parallel: the nibble pairing cannot shard on K — the rule
+    # gives the packed dim its own factor, so Shardy resolves a K-sharded
+    # weight by replicating it. Correct output, no sharding (and
+    # shard_params rejects this layout up front anyway).
+    wq4 = quantize_weight(w, "int4", "bf16")
+    wq4_s = shard(wq4, P("tp", None))
+
+    def g(x):
+        with spmd_partition_mode():
+            return quant_matmul(x, wq4_s)
+
+    ref4 = quant_matmul(x, wq4)
+    out4 = jax.jit(g)(jax.device_put(x, NamedSharding(mesh, P())))
+    assert float(jnp.max(jnp.abs(out4.astype(jnp.float32)
+                                 - ref4.astype(jnp.float32)))) < 1e-6
