@@ -54,9 +54,16 @@ def _lm_logits(params, h, cfg: LlamaConfig):
     return logits
 
 
-def _residual_tail(cfg: LlamaConfig, layer, x, out, pin=lambda v: v):
-    """Attention-output projection + MLP with optional sandwich norms."""
+def _residual_tail(cfg: LlamaConfig, layer, x, out, pin=lambda v: v,
+                   o_extra=None):
+    """Attention-output projection + MLP with optional sandwich norms.
+
+    ``o_extra``: additive term for the attention output projection (the
+    per-row LoRA delta of wo).
+    """
     h = _o_proj(layer, out)
+    if o_extra is not None:
+        h = h + o_extra
     if cfg.post_norms:
         h = rms_norm(h, layer["attn_post_norm"], cfg.norm_eps)
     x = pin(x + h)
@@ -254,7 +261,8 @@ def _write_prompt_layer(cache: PagedKVCache, li: int, k, v, page_table,
 @spmd_safe
 def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             page_table, prompt_len: Optional[int] = None,
-            interpret: Optional[bool] = None, mesh=None):
+            interpret: Optional[bool] = None, mesh=None,
+            lora=None, adapter_ids=None):
     """Run one prompt (1, padded_len) through the model, filling its pages.
 
     ``tokens`` may be right-padded so the flash kernel's block constraint
@@ -288,6 +296,12 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         b = h.shape[0]
         q, k, v = _qkv(layer, h, cfg)
+        if lora is not None:
+            from .lora import lora_delta
+
+            q = q + lora_delta(lora, li, "wq", h, adapter_ids)
+            k = k + lora_delta(lora, li, "wk", h, adapter_ids)
+            v = v + lora_delta(lora, li, "wv", h, adapter_ids)
         q = q.reshape(b, s, cfg.n_heads, cfg.d_head).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, cfg.n_kv_heads, cfg.d_head).transpose(0, 2, 1, 3)
@@ -303,7 +317,12 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             out = flash_attention(q, k, v, cfg.attn_config(s, layer=li),
                                   interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
-        x = _residual_tail(cfg, layer, x, out, pin)
+        o_extra = None
+        if lora is not None:
+            from .lora import lora_delta
+
+            o_extra = lora_delta(lora, li, "wo", out, adapter_ids)
+        x = _residual_tail(cfg, layer, x, out, pin, o_extra=o_extra)
         # Causality makes rows [0, prompt_len) independent of the padding
         # rows, so scattering just those rows keeps the cache exact.
         cache = _write_prompt_layer(cache, li, k[0, :, :prompt_len],
@@ -530,7 +549,8 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
 @spmd_safe
 def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, interpret: Optional[bool] = None,
-                mesh=None, attn_int8: bool = False):
+                mesh=None, attn_int8: bool = False,
+                lora=None, adapter_ids=None):
     """One decode step for the whole running batch.
 
     Args:
@@ -572,6 +592,12 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
     for li, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(layer, h, cfg)
+        if lora is not None:
+            from .lora import lora_delta
+
+            q = q + lora_delta(lora, li, "wq", h, adapter_ids)
+            k = k + lora_delta(lora, li, "wk", h, adapter_ids)
+            v = v + lora_delta(lora, li, "wv", h, adapter_ids)
         q = q.reshape(batch, 1, cfg.n_heads, cfg.d_head)
         k = k.reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
         v = v.reshape(batch, 1, cfg.n_kv_heads, cfg.d_head)
@@ -639,9 +665,14 @@ def decode_step(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             softcap=cfg.attn_softcap, scale=cfg.attn_scale or None,
         )  # (batch, heads, d)
         out = out.reshape(batch, 1, cfg.n_heads * cfg.d_head).astype(x.dtype)
+        o_extra = None
+        if lora is not None:
+            from .lora import lora_delta
+
+            o_extra = lora_delta(lora, li, "wo", out, adapter_ids)
         # wo/w_down are row-parallel: pin the residual so their partial
         # products all-reduce HERE once (see parallel.mesh.pin_residual).
-        x = _residual_tail(cfg, layer, x, out, pin)
+        x = _residual_tail(cfg, layer, x, out, pin, o_extra=o_extra)
 
     x = rms_norm(x, params["final_norm"], cfg.norm_eps)
     return _lm_logits(params, x[:, 0], cfg), cache

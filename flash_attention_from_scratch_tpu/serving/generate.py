@@ -84,6 +84,7 @@ class _SeqState:
     max_new: int = 0
     prefilled: bool = False
     stop: frozenset = frozenset()
+    adapter: int = -1  # LoRA adapter id (-1 = base model)
     # Latency bookkeeping (wall clock): submit -> first token -> finished.
     submit_t: float = 0.0
     first_t: float = 0.0
@@ -103,7 +104,7 @@ class GenerationServer:
                  temperature: float = 0.0, top_k: int = 0, seed: int = 0,
                  chunk: int = 1, attn_int8: bool = False, mesh=None,
                  prefill_chunk_tokens: int = 0, spec_k: int = 0,
-                 prefix_cache: bool = False,
+                 prefix_cache: bool = False, lora=None,
                  interpret: Optional[bool] = None):
         self.cfg = cfg
         self.mode = mode
@@ -189,6 +190,12 @@ class GenerationServer:
             raise ValueError("prefix_cache + mesh not supported yet "
                              "(suffix prefill is single-chip chunked)")
         self.prefix_cache = prefix_cache
+        if lora is not None and (spec_k or chunk > 1
+                                 or prefill_chunk_tokens or mesh is not None):
+            raise ValueError("multi-LoRA serving currently requires the "
+                             "plain stepwise decode path (no spec_k/chunk/"
+                             "chunked-prefill/mesh)")
+        self.lora = lora
         # Suffix prefill runs in chunks aligned to BOTH the flash block and
         # the page size, so cached page boundaries are chunk boundaries.
         self._pc_chunk = (prefill_chunk_tokens
@@ -197,9 +204,13 @@ class GenerationServer:
         self._stopped: list[int] = []
 
     def submit(self, seq_id: int, prompt: list[int], max_new_tokens: int,
-               stop=()):
-        """``stop``: token ids that end the sequence early. The stop token
-        itself is kept in the generation (the standard EOS convention)."""
+               stop=(), adapter: int = -1):
+        """``stop``: token ids that end the sequence early (kept in the
+        generation, the standard EOS convention). ``adapter``: LoRA adapter
+        id for this request (-1 = base model; requires ``lora=`` at server
+        construction)."""
+        if adapter >= 0 and self.lora is None:
+            raise ValueError("server built without lora adapters")
         if self.prefix_cache:
             self.engine.add_request_cached(
                 seq_id, len(prompt), max_new_tokens,
@@ -208,7 +219,7 @@ class GenerationServer:
             self.engine.add_request(seq_id, len(prompt), max_new_tokens)
         self.seqs[seq_id] = _SeqState(prompt=list(prompt), generated=[],
                                       max_new=max_new_tokens,
-                                      stop=frozenset(stop),
+                                      stop=frozenset(stop), adapter=adapter,
                                       submit_t=time.perf_counter())
 
     def _pick(self, logits, sid: int):
@@ -277,7 +288,9 @@ class GenerationServer:
                         self.params, jnp.asarray(padded)[None, :], self.cfg,
                         self.cache, jnp.asarray(batch.page_tables[row]),
                         prompt_len=len(st.prompt), interpret=self.interpret,
-                        mesh=self.mesh,
+                        mesh=self.mesh, lora=self.lora,
+                        adapter_ids=jnp.asarray([st.adapter], jnp.int32)
+                        if self.lora is not None else None,
                     )
                 pending.append((sid, self._pick(logits, sid)))
                 st.prefilled = True
@@ -510,13 +523,18 @@ class GenerationServer:
 
     def _decode_one(self, batch, decode_rows):
         """Single-token decode with host-side sampling (the n == 1 path)."""
-        tokens, lengths, tables, _ = self._gather_batch(
+        tokens, lengths, tables, pad = self._gather_batch(
             batch, decode_rows, pad_length=1)
+        adapter_ids = None
+        if self.lora is not None:
+            ids = [self.seqs[int(batch.ids[r])].adapter
+                   for r in decode_rows] + [-1] * pad
+            adapter_ids = jnp.asarray(ids, jnp.int32)
         logits, self.cache = decode_step(
             self.params, jnp.asarray(tokens), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables),
             interpret=self.interpret, attn_int8=self.attn_int8,
-            mesh=self.mesh,
+            mesh=self.mesh, lora=self.lora, adapter_ids=adapter_ids,
         )
         # One device->host readback for the whole batch: a per-row
         # int(pick(...)) costs a full tunnel fence per TOKEN (~200 ms/step
