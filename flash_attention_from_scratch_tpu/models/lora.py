@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from .llama import LlamaConfig
 
-__all__ = ["init_lora_adapters", "lora_delta", "LORA_KEYS"]
+__all__ = ["init_lora_adapters", "lora_delta", "from_peft_state_dicts",
+           "LORA_KEYS"]
 
 # Projections that carry adapters (the common attention-only default).
 LORA_KEYS = ("wq", "wk", "wv", "wo")
@@ -58,6 +59,57 @@ def init_lora_adapters(cfg: LlamaConfig, n_adapters: int, rank: int, key,
                                     (n_adapters, rank, dout), jnp.float32)
                   / math.sqrt(rank)).astype(dt))
             layer[k] = (a, b)
+        layers.append(layer)
+    return {"alpha": jnp.asarray(alpha / rank, jnp.float32),
+            "layers": layers}
+
+
+_PEFT_NAMES = {"wq": "q_proj", "wk": "k_proj", "wv": "v_proj",
+               "wo": "o_proj"}
+
+
+def from_peft_state_dicts(cfg: LlamaConfig, state_dicts, *, rank: int,
+                          alpha: float, dtype=jnp.bfloat16):
+    """Stack trained HF PEFT LoRA checkpoints into the serving layout.
+
+    ``state_dicts``: one PEFT ``state_dict()``-style mapping per adapter
+    (keys like ``...layers.N.self_attn.q_proj.lora_A.weight`` with
+    lora_A (r, in) / lora_B (out, r) torch Linear layout). Projections a
+    given adapter does not target get zero factors (identity). All
+    adapters must share ``rank`` (pad smaller ones upstream).
+    Returns the ``{"alpha", "layers"}`` pytree ``GenerationServer(lora=)``
+    takes.
+    """
+    import numpy as np
+
+    def to_np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t, np.float32)
+
+    n = len(state_dicts)
+    layers = []
+    for li in range(cfg.n_layers):
+        layer = {}
+        for ours, theirs in _PEFT_NAMES.items():
+            din, dout = _IN_DIM[ours](cfg), _OUT_DIM[ours](cfg)
+            a = np.zeros((n, din, rank), np.float32)
+            b = np.zeros((n, rank, dout), np.float32)
+            for ai, sd in enumerate(state_dicts):
+                hit = [k for k in sd
+                       if f"layers.{li}." in k and f"{theirs}.lora_A" in k]
+                if not hit:
+                    continue
+                ka = hit[0]
+                kb = ka.replace("lora_A", "lora_B")
+                a_t = to_np(sd[ka])   # (r, in) torch layout
+                b_t = to_np(sd[kb])   # (out, r)
+                if a_t.shape[0] != rank:
+                    raise ValueError(
+                        f"adapter {ai} {theirs} rank {a_t.shape[0]} != {rank}")
+                a[ai] = a_t.T
+                b[ai] = b_t.T
+            layer[ours] = (jnp.asarray(a, dtype), jnp.asarray(b, dtype))
         layers.append(layer)
     return {"alpha": jnp.asarray(alpha / rank, jnp.float32),
             "layers": layers}

@@ -109,3 +109,55 @@ def test_zero_b_is_identity(setup):
                           max_batch=1)
     s2.submit(1, list(range(10, 30)), 4)
     assert got1 == s2.run()[1]
+
+
+def test_from_peft_checkpoint():
+    """A real HF PEFT adapter converts and matches peft's own merged model."""
+    transformers = pytest.importorskip("transformers")
+    peft = pytest.importorskip("peft")
+    torch = pytest.importorskip("torch")
+
+    from flash_attention_from_scratch_tpu.models.convert import (
+        config_from_hf, from_hf_llama)
+    from flash_attention_from_scratch_tpu.models.lora import (
+        from_peft_state_dicts)
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False,
+        attention_bias=False, mlp_bias=False)
+    base = transformers.LlamaForCausalLM(hf_cfg).eval()
+
+    lcfg = peft.LoraConfig(r=8, lora_alpha=16,
+                           target_modules=["q_proj", "v_proj"],
+                           lora_dropout=0.0, bias="none")
+    pmodel = peft.get_peft_model(transformers.LlamaForCausalLM(hf_cfg), lcfg)
+    pmodel.base_model.model.load_state_dict(base.state_dict(), strict=False)
+    with torch.no_grad():  # non-trivial factors (B inits to zero in peft)
+        for n, p in pmodel.named_parameters():
+            if "lora_" in n:
+                p.normal_(std=0.1)
+    pmodel.eval()
+
+    cfg = config_from_hf(hf_cfg, block_q=128, block_kv=128)
+    params, cfg = from_hf_llama(base, cfg, dtype=jnp.float32)
+    lora = from_peft_state_dicts(
+        cfg, [pmodel.state_dict()], rank=8, alpha=16, dtype=jnp.float32)
+
+    server = GenerationServer(params, cfg, num_pages=16, page_size=64,
+                              max_batch=1, pages_per_seq=8, lora=lora)
+    prompt = list(range(10, 40))
+    server.submit(1, prompt, 4, adapter=0)
+    got = server.run()[1]
+
+    merged = pmodel.merge_and_unload().eval()
+    toks = list(prompt)
+    for g in got:
+        with torch.no_grad():
+            logits = merged(torch.tensor([toks])).logits[0, -1].float()
+        gap = float(logits.max() - logits[g])
+        assert gap <= 0.1, (len(toks), g, int(logits.argmax()), gap)
+        toks.append(g)
