@@ -403,6 +403,7 @@ def _prefill_one_chunk(params, tokens_chunk, cfg: LlamaConfig,
             d_head=cfg.d_head, dtype=cfg.dtype,
             causal=True, q_offset=start,
             window=window,
+            attn_softcap=cfg.attn_softcap,
             optimized_softmax=not window,
         )
     for li, layer in enumerate(params["layers"]):

@@ -157,7 +157,7 @@ def init_params(cfg: LlamaConfig, key) -> dict:
     kv_dim = cfg.n_kv_heads * cfg.d_head
     for i in range(cfg.n_layers):
         k = jax.random.split(keys[i + 2], 7)
-        params["layers"].append({
+        layer = {
             "attn_norm": jnp.ones((cfg.dim,), dt),
             "wq": _dense_init(k[0], (cfg.dim, q_dim), dt),
             "wk": _dense_init(k[1], (cfg.dim, kv_dim), dt),
@@ -167,7 +167,11 @@ def init_params(cfg: LlamaConfig, key) -> dict:
             "w_gate": _dense_init(k[4], (cfg.dim, cfg.hidden_dim), dt),
             "w_up": _dense_init(k[5], (cfg.dim, cfg.hidden_dim), dt),
             "w_down": _dense_init(k[6], (cfg.hidden_dim, cfg.dim), dt),
-        })
+        }
+        if cfg.post_norms:
+            layer["attn_post_norm"] = jnp.ones((cfg.dim,), dt)
+            layer["mlp_post_norm"] = jnp.ones((cfg.dim,), dt)
+        params["layers"].append(layer)
     return params
 
 

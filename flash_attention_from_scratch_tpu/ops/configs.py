@@ -341,7 +341,10 @@ class KernelConfig:
         if self.window:
             flags.append(f"wi{self.window}")
         if self.attn_softcap:
-            flags.append(f"sc{int(self.attn_softcap)}")
+            # float-safe in the [a-z0-9+] short-form charset: '.' -> 'p',
+            # trailing zeros dropped (50.0 -> sc50, 30.5 -> sc30p5).
+            cap = f"{self.attn_softcap:g}".replace(".", "p")
+            flags.append(f"sc{cap}")
         flag_s = "+".join(flags) if flags else "none"
         return (
             f"fa_{self.dtype.short}_q{self.block_q}_kv{self.block_kv}"
@@ -380,8 +383,8 @@ def parse_short_form(s: str) -> KernelConfig:
             q_offset = int(f[2:])
         if f.startswith("wi") and f[2:].isdigit():
             window = int(f[2:])
-        if f.startswith("sc") and f[2:].isdigit():
-            softcap = int(f[2:])
+        if f.startswith("sc") and f[2:].replace("p", "").isdigit():
+            softcap = float(f[2:].replace("p", "."))
     return KernelConfig(
         kv_splits=kv_splits,
         q_splits=q_splits,

@@ -451,7 +451,7 @@ def quantize_activations(x, *, qmax: float = 127.0):
 
 
 def _qmm_local(x_ops, values, scales2, *, mode, act_quant, block_m, block_k,
-               block_n, n_inner, interpret):
+               block_n, n_inner, interpret, out_dtype_name=None):
     """Single-device quant matmul on (possibly shard-local) 2-D operands.
 
     ``x_ops`` is ``x2`` for the weight-only path or ``(x_q, xs)`` for W8A8 /
@@ -470,7 +470,11 @@ def _qmm_local(x_ops, values, scales2, *, mode, act_quant, block_m, block_k,
     bm = _fit_block(block_m, m, 8)
     bk = _fit_block(block_k, k_eff, 128)
     bn = _fit_block(block_n, n, 128)
-    out_dtype = xs.dtype if act_quant else x2.dtype
+    # The a8 path's x is already int8 and xs is f32: neither carries the
+    # MODEL's activation dtype, so it must arrive explicitly or bf16 models
+    # would silently widen to f32 outputs under the partitioned path.
+    out_dtype = (jnp.dtype(out_dtype_name) if out_dtype_name is not None
+                 else x2.dtype)
     if not (bm > 0 and bk > 0 and bn > 0):
         if act_quant:
             if mode == "int4":
@@ -510,7 +514,10 @@ _FORCE_XLA = contextvars.ContextVar("qmm_force_xla", default=False)
 
 @contextlib.contextmanager
 def xla_fallback_mode(on: bool = True):
-    """Trace-time switch: route quant_matmul through XLA ops (shardable)."""
+    """Trace-time DEBUG escape hatch: route quant_matmul through plain XLA
+    ops. The production mesh story is spmd_partition_mode (the Pallas
+    kernel under custom_partitioning); flip this instead when bisecting a
+    kernel-vs-XLA numerics or partitioning question."""
     tok = _FORCE_XLA.set(bool(on))
     try:
         yield
@@ -540,7 +547,8 @@ def _dim_axis(spec, i):
 
 @functools.lru_cache(maxsize=64)
 def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
-                          block_k: int, block_n: int, interpret: bool):
+                          block_k: int, block_n: int, interpret: bool,
+                          out_dtype_name: str = "bfloat16"):
     """custom_partitioning-wrapped quant matmul for one static config.
 
     Sharding contract (derived from the WEIGHT operand, matching
@@ -559,7 +567,7 @@ def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
 
     kw = dict(mode=mode, act_quant=act_quant, block_m=block_m,
               block_k=block_k, block_n=block_n, n_inner=False,
-              interpret=interpret)
+              interpret=interpret, out_dtype_name=out_dtype_name)
 
     if act_quant:
         def impl(x_q, xs, values, scales2):
@@ -731,7 +739,7 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
         scales = wq.scales.reshape(1, n).astype(jnp.float32)
         if spmd:
             pfn = _make_qmm_partitioned(wq.mode, True, block_m, block_k,
-                                        block_n, interpret)
+                                        block_n, interpret, str(x.dtype))
             return pfn(x_q, xs, wq.values, scales).reshape(*lead, n)
         fn = _build_qmm_a8(m, k, n, wq.mode, str(x.dtype), bm, bk, bn,
                            interpret)
@@ -747,7 +755,7 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     scales = wq.scales.reshape(1, n).astype(jnp.float32)
     if spmd:
         pfn = _make_qmm_partitioned(wq.mode, False, block_m, block_k,
-                                    block_n, interpret)
+                                    block_n, interpret, str(x.dtype))
         return pfn(x2, wq.values, scales).reshape(*lead, n)
     use_n_inner = (n_inner and wq.mode == "int8"
                    and bm * n * 4 <= 16 * 1024 * 1024)

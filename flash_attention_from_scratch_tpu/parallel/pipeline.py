@@ -77,9 +77,15 @@ def _stage_apply(stage_params, x, cfg: LlamaConfig, cos, sin, interpret):
     depth = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
     for i in range(depth):
         layer = jax.tree_util.tree_map(lambda w: w[i], stage_params)
-        x = x + _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
-                           cfg, cos, sin, interpret=interpret)
-        x = x + _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps))
+        h = _attention(layer, rms_norm(x, layer["attn_norm"], cfg.norm_eps),
+                       cfg, cos, sin, interpret=interpret)
+        if cfg.post_norms:
+            h = rms_norm(h, layer["attn_post_norm"], cfg.norm_eps)
+        x = x + h
+        h = _mlp(layer, rms_norm(x, layer["mlp_norm"], cfg.norm_eps), cfg)
+        if cfg.post_norms:
+            h = rms_norm(h, layer["mlp_post_norm"], cfg.norm_eps)
+        x = x + h
     return x
 
 

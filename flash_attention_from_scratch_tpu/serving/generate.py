@@ -190,12 +190,18 @@ class GenerationServer:
             raise ValueError("prefix_cache + mesh not supported yet "
                              "(suffix prefill is single-chip chunked)")
         self.prefix_cache = prefix_cache
-        if lora is not None and (spec_k or chunk > 1
-                                 or prefill_chunk_tokens or mesh is not None):
+        if lora is not None and (spec_k or chunk > 1 or prefill_chunk_tokens
+                                 or prefix_cache or mesh is not None):
+            # prefix_cache in particular routes prefill through
+            # prefill_chunked, which takes no adapters — the prompt KV
+            # would come from the base model (and get published as shared
+            # pages), silently mismatching the adapter's decode.
             raise ValueError("multi-LoRA serving currently requires the "
                              "plain stepwise decode path (no spec_k/chunk/"
-                             "chunked-prefill/mesh)")
+                             "chunked-prefill/prefix_cache/mesh)")
         self.lora = lora
+        self.n_adapters = (
+            0 if lora is None else lora["layers"][0]["wq"][0].shape[0])
         # Suffix prefill runs in chunks aligned to BOTH the flash block and
         # the page size, so cached page boundaries are chunk boundaries.
         self._pc_chunk = (prefill_chunk_tokens
@@ -211,6 +217,11 @@ class GenerationServer:
         construction)."""
         if adapter >= 0 and self.lora is None:
             raise ValueError("server built without lora adapters")
+        if self.lora is not None and adapter >= self.n_adapters:
+            # The jitted gather clamps out-of-range ids to the LAST adapter
+            # — a typo would silently serve another tenant's fine-tune.
+            raise ValueError(
+                f"adapter {adapter} out of range (n={self.n_adapters})")
         if self.prefix_cache:
             self.engine.add_request_cached(
                 seq_id, len(prompt), max_new_tokens,

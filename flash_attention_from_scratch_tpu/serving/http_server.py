@@ -17,8 +17,10 @@ reference framework family ships none either).
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .generate import GenerationServer
@@ -36,20 +38,39 @@ class ServingFrontend:
         self._events = {}                   # sid -> threading.Event
         self._next_id = 1
         self._stop = threading.Event()
+        self._fatal: Exception | None = None
         self._loop = threading.Thread(target=self._run_loop, daemon=True)
         self._loop.start()
 
     def _run_loop(self):
         while not self._stop.is_set():
-            with self._lock:
-                has_work = self.server.has_work
-                if has_work:
-                    finished = self.server.step()
-                    for sid in finished:
-                        self._done[sid] = list(self.server.seqs[sid].generated)
-                        ev = self._events.pop(sid, None)
-                        if ev is not None:
-                            ev.set()
+            try:
+                with self._lock:
+                    has_work = self.server.has_work
+                    if has_work:
+                        finished = self.server.step()
+                        for sid in finished:
+                            self._done[sid] = list(
+                                self.server.seqs[sid].generated)
+                            # Finished sequences never decode again: drop
+                            # the state or a long-running frontend grows
+                            # one _SeqState (prompt + tokens) per request
+                            # forever.
+                            del self.server.seqs[sid]
+                            ev = self._events.pop(sid, None)
+                            if ev is not None:
+                                ev.set()
+            except Exception as e:  # noqa: BLE001 — a dead loop bricks
+                # every in-flight and future request with /health still
+                # green; record, wake all waiters, and stop.
+                logging.getLogger(__name__).error(
+                    "serving step loop died:\n%s", traceback.format_exc())
+                self._fatal = e
+                with self._lock:
+                    for ev in self._events.values():
+                        ev.set()
+                    self._events.clear()
+                return
             if not has_work:
                 time.sleep(0.002)
 
@@ -66,9 +87,19 @@ class ServingFrontend:
     def generate(self, prompt, max_new_tokens: int, stop=(),
                  timeout: float = 600.0):
         sid, ev = self.submit(prompt, max_new_tokens, stop)
-        if not ev.wait(timeout):
-            raise TimeoutError(f"request {sid} did not finish in {timeout}s")
-        return sid, self._done.pop(sid)
+        try:
+            if not ev.wait(timeout):
+                raise TimeoutError(
+                    f"request {sid} did not finish in {timeout}s")
+            if self._fatal is not None:
+                raise RuntimeError(f"serving loop died: {self._fatal!r}")
+            return sid, self._done.pop(sid)
+        finally:
+            # Timed-out / failed requests must not strand their event or
+            # (late-arriving) result.
+            with self._lock:
+                self._events.pop(sid, None)
+                self._done.pop(sid, None)
 
     def stats(self):
         with self._lock:
@@ -96,7 +127,11 @@ class ServingFrontend:
 
             def do_GET(self):
                 if self.path == "/health":
-                    return self._reply(200, {"ok": True})
+                    ok = frontend._fatal is None
+                    return self._reply(200 if ok else 500,
+                                       {"ok": ok,
+                                        "error": (None if ok
+                                                  else repr(frontend._fatal))})
                 if self.path == "/stats":
                     return self._reply(200, frontend.stats())
                 return self._reply(404, {"error": "unknown path"})

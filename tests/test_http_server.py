@@ -67,7 +67,7 @@ def test_http_generate_and_stats(frontend):
 
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
                                 timeout=30) as r:
-        assert json.loads(r.read()) == {"ok": True}
+        assert json.loads(r.read())["ok"] is True
 
 
 def test_http_bad_request(frontend):
