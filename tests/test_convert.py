@@ -213,3 +213,36 @@ def test_gemma2_serving():
         gap = float(logits.max() - logits[g])
         assert gap <= 0.1, (len(toks), g, int(logits.argmax()), gap)
         toks.append(g)
+
+
+def test_gemma2_chunked_prefill():
+    """Chunked prefill must carry Gemma-2's softcap/window/post-norm math:
+    chunked == one-shot prefill on the converted model."""
+    from flash_attention_from_scratch_tpu.models.convert import (
+        from_hf_gemma2)
+    from flash_attention_from_scratch_tpu.models.decode import (
+        init_cache, prefill, prefill_chunked)
+
+    torch.manual_seed(2)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=128, max_position_embeddings=512, rope_theta=10000.0,
+        rms_norm_eps=1e-6, query_pre_attn_scalar=144,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=64, attention_dropout=0.0,
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    params, cfg = from_hf_gemma2(model, dtype=jnp.float32)
+    cfg = __import__("dataclasses").replace(cfg, block_q=128, block_kv=128)
+
+    prompt = np.zeros((1, 256), np.int32)
+    prompt[0, :200] = (np.arange(200) * 3 + 5) % 256
+    pt = jnp.asarray([0, 1, 2, 3, 4, -1], jnp.int32)
+    logits0, _ = prefill(params, jnp.asarray(prompt), cfg,
+                         init_cache(cfg, 8, 64), pt, prompt_len=200,
+                         interpret=True)
+    logits1, _ = prefill_chunked(params, jnp.asarray(prompt), cfg,
+                                 init_cache(cfg, 8, 64), pt, prompt_len=200,
+                                 chunk_tokens=128, interpret=True)
+    assert float(jnp.max(jnp.abs(logits1 - logits0))) < 0.02

@@ -161,6 +161,7 @@ def test_partitioned_quant_matmul_tp():
                 return quant_matmul(x, wq_s, act_quant=act)
 
         out = jax.jit(f)(jax.device_put(x, NamedSharding(mesh, P())))
+        assert out.dtype == x.dtype, (mode, act, out.dtype)  # no f32 widening
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
         assert err <= tol, (mode, act, tuple(vspec), err)
