@@ -2,6 +2,8 @@
 
 POST /generate   {"prompt": [ids...], "max_new_tokens": N,
                   "stop": [ids...]?}           -> {"id", "tokens"}
+                 or, with a tokenizer attached, {"text": "...", ...}
+                 -> {"id", "tokens", "text"}.
                  (blocks until the request finishes; the background step
                  loop keeps batching other requests meanwhile)
 GET  /stats      -> GenerationServer.stats() + queue depths
@@ -31,8 +33,12 @@ __all__ = ["ServingFrontend"]
 class ServingFrontend:
     """Own a GenerationServer + its step loop; serve HTTP on demand."""
 
-    def __init__(self, server: GenerationServer):
+    def __init__(self, server: GenerationServer, tokenizer=None):
+        """``tokenizer``: optional object with ``encode(str) -> [ids]`` and
+        ``decode([ids]) -> str`` (a transformers tokenizer fits) enabling
+        the text-in/text-out request form."""
         self.server = server
+        self.tokenizer = tokenizer
         self._lock = threading.Lock()       # guards submit + seqs access
         self._done = {}                     # sid -> tokens
         self._events = {}                   # sid -> threading.Event
@@ -142,12 +148,22 @@ class ServingFrontend:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n))
+                    if "text" in req:
+                        if frontend.tokenizer is None:
+                            return self._reply(
+                                400, {"error": "no tokenizer attached"})
+                        prompt = list(frontend.tokenizer.encode(req["text"]))
+                    else:
+                        prompt = [int(t) for t in req["prompt"]]
                     sid, toks = frontend.generate(
-                        [int(t) for t in req["prompt"]],
+                        prompt,
                         int(req.get("max_new_tokens", 16)),
                         stop=tuple(req.get("stop", ())),
                     )
-                    return self._reply(200, {"id": sid, "tokens": toks})
+                    out = {"id": sid, "tokens": toks}
+                    if frontend.tokenizer is not None:
+                        out["text"] = frontend.tokenizer.decode(toks)
+                    return self._reply(200, out)
                 except Exception as e:  # noqa: BLE001 — surface to client
                     return self._reply(400, {"error": str(e)})
 

@@ -90,3 +90,36 @@ def test_http_stop_tokens(frontend):
     got = _post(port, {"prompt": [10, 11, 12, 13] * 5,
                        "max_new_tokens": 4, "stop": [full[1]]})["tokens"]
     assert got[-1] == full[1] and len(got) == 2
+
+
+def test_http_text_roundtrip():
+    """Text form with a toy tokenizer (encode/decode protocol)."""
+    from flash_attention_from_scratch_tpu.models.llama import init_params
+    from flash_attention_from_scratch_tpu.serving.generate import (
+        GenerationServer)
+    from flash_attention_from_scratch_tpu.serving.http_server import (
+        ServingFrontend)
+
+    class ByteTok:
+        def encode(self, s):
+            return [b % 256 for b in s.encode()]
+
+        def decode(self, ids):
+            return bytes(int(i) % 256 for i in ids).decode("latin1")
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    server = GenerationServer(params, CFG, num_pages=16, page_size=64,
+                              max_batch=1, pages_per_seq=8)
+    fe = ServingFrontend(server, tokenizer=ByteTok())
+    httpd = fe.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = _post(httpd.server_address[1],
+                    {"text": "hello world, this is a prompt",
+                     "max_new_tokens": 3})
+        assert len(out["tokens"]) == 3
+        assert isinstance(out["text"], str) and len(out["text"]) == 3
+    finally:
+        httpd.shutdown()
+        fe.shutdown()
