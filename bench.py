@@ -12,7 +12,36 @@ chip. ``pct_of_sol`` tracks the BASELINE.md speed-of-light target separately.
 
 import json
 import math
+import os
+import subprocess
 import sys
+
+# Fail fast when the TPU tunnel is wedged: `import jax` itself blocks in
+# the axon sitecustomize's claim leg during an outage, which would hang
+# this benchmark (and whoever drives it) forever. Probe in a subprocess
+# with a hard timeout first and emit an honest error line instead.
+if os.environ.get("FA_TPU_SKIP_PROBE") != "1":
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print(float((x @ x)[0, 0]))"],
+            check=True, capture_output=True, timeout=420,
+            env={**os.environ, "FA_TPU_SKIP_PROBE": "1"},
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "attn_tflops_seq4096_d128_bf16",
+            "value": 0.0,
+            "unit": "TFLOP/s",
+            "vs_baseline": 0.0,
+            "error": "TPU unreachable: device probe failed "
+                     f"({type(e).__name__}); tunnel outage — see "
+                     "BASELINE.md for the last measured numbers "
+                     "(182.5 TFLOP/s, 1.33x JAX's kernel)",
+        }))
+        sys.exit(0)
 
 import jax
 import jax.numpy as jnp
