@@ -804,7 +804,7 @@ def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
                 lengths, page_tables, steps: int, *, row_keys=None,
                 pos0=None, temperature: float = 0.0, top_k: int = 0,
                 interpret: Optional[bool] = None, mesh=None,
-                attn_int8: bool = False):
+                attn_int8: bool = False, lora=None, adapter_ids=None):
     """``steps`` decode iterations inside ONE jit via ``lax.scan``.
 
     Amortizes host dispatch over a whole chunk: through the axon tunnel one
@@ -838,7 +838,8 @@ def decode_loop(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
         lengths = lengths + 1
         logits, cache = decode_step(params, toks, cfg, cache, lengths,
                                     page_tables, interpret=interpret,
-                                    mesh=mesh, attn_int8=attn_int8)
+                                    mesh=mesh, attn_int8=attn_int8,
+                                    lora=lora, adapter_ids=adapter_ids)
         if temperature <= 0.0 or row_keys is None:
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         else:

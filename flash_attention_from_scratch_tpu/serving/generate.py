@@ -190,14 +190,14 @@ class GenerationServer:
             raise ValueError("prefix_cache + mesh not supported yet "
                              "(suffix prefill is single-chip chunked)")
         self.prefix_cache = prefix_cache
-        if lora is not None and (spec_k or chunk > 1 or prefill_chunk_tokens
+        if lora is not None and (spec_k or prefill_chunk_tokens
                                  or prefix_cache or mesh is not None):
             # prefix_cache in particular routes prefill through
             # prefill_chunked, which takes no adapters — the prompt KV
             # would come from the base model (and get published as shared
             # pages), silently mismatching the adapter's decode.
-            raise ValueError("multi-LoRA serving currently requires the "
-                             "plain stepwise decode path (no spec_k/chunk/"
+            raise ValueError("multi-LoRA serving supports stepwise and "
+                             "chunked decode only (no spec_k/"
                              "chunked-prefill/prefix_cache/mesh)")
         self.lora = lora
         self.n_adapters = (
@@ -517,12 +517,18 @@ class GenerationServer:
             pos0 = jnp.asarray(
                 [len(self.seqs[s].generated) if i < len(decode_rows) else 0
                  for i, s in enumerate(sids)], jnp.int32)
+        adapter_ids = None
+        if self.lora is not None:
+            ids = [self.seqs[int(batch.ids[r])].adapter
+                   for r in decode_rows] + [-1] * pad
+            adapter_ids = jnp.asarray(ids, jnp.int32)
         out, self.cache, _ = decode_loop(
             self.params, jnp.asarray(tokens), self.cfg, self.cache,
             jnp.asarray(lengths), jnp.asarray(tables), n,
             row_keys=row_keys, pos0=pos0, temperature=self.temperature,
             top_k=self.top_k, interpret=self.interpret,
             attn_int8=self.attn_int8, mesh=self.mesh,
+            lora=self.lora, adapter_ids=adapter_ids,
         )
         out = np.asarray(out)
         for i, r in enumerate(decode_rows):

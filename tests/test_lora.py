@@ -161,3 +161,17 @@ def test_from_peft_checkpoint():
         gap = float(logits.max() - logits[g])
         assert gap <= 0.1, (len(toks), g, int(logits.argmax()), gap)
         toks.append(g)
+
+
+def test_lora_chunked_matches_stepwise(setup):
+    """chunk=4 with adapters replays the stepwise LoRA trajectory exactly."""
+    params, lora = setup
+    runs = {}
+    for chunk in (1, 4):
+        server = GenerationServer(params, CFG, num_pages=32, page_size=64,
+                                  max_batch=2, pages_per_seq=8, lora=lora,
+                                  chunk=chunk)
+        server.submit(1, list(range(10, 30)), 6, adapter=0)
+        server.submit(2, list(range(40, 60)), 6, adapter=1)
+        runs[chunk] = server.run()
+    assert runs[1] == runs[4], runs
