@@ -112,19 +112,23 @@ def _check_windowed_paged():
 
 def _check_serving_tiny():
     from ..models.llama import LlamaConfig, init_params
+    from ..models.lora import init_lora_adapters
     from ..serving.generate import GenerationServer
 
     cfg = LlamaConfig(vocab_size=512, dim=512, n_layers=2, n_heads=4,
                       n_kv_heads=2, d_head=128, hidden_dim=1024,
                       block_q=128, block_kv=128)
     params = init_params(cfg, jax.random.PRNGKey(0))
+    lora = init_lora_adapters(cfg, 2, 8, jax.random.PRNGKey(1), zero_b=False)
     for kwargs in ({"spec_k": 4}, {"prefix_cache": True},
-                   {"prefill_chunk_tokens": 128}):
+                   {"prefill_chunk_tokens": 128},
+                   {"lora": lora, "chunk": 4}):
         server = GenerationServer(params, cfg, num_pages=64, page_size=128,
                                   max_batch=4, pages_per_seq=8,
                                   interpret=False, **kwargs)
         for sid in range(3):
-            server.submit(sid, [(sid * 31 + i) % 512 for i in range(200)], 8)
+            server.submit(sid, [(sid * 31 + i) % 512 for i in range(200)], 8,
+                          adapter=sid % 2 if "lora" in kwargs else -1)
         got = server.run()
         assert all(len(got[sid]) == 8 for sid in range(3)), kwargs
 
