@@ -63,6 +63,15 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     """
     if causal is None:
         causal = cfg.causal
+    if cfg.window or cfg.q_offset:
+        # The ring rotates KV shards and rebuilds masks per hop assuming
+        # plain (non-)causal alignment; a sliding window or q_offset would
+        # mask the wrong columns on rotated shards. Reject rather than
+        # silently compute wrong attention. (attn_softcap is fine: it is
+        # elementwise on the scores and rides each hop's partial.)
+        raise NotImplementedError(
+            "ring attention supports plain/causal masking only "
+            f"(window={cfg.window}, q_offset={cfg.q_offset})")
     return _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret)
 
 
