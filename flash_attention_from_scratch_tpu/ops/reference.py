@@ -27,12 +27,17 @@ __all__ = [
                                    "window", "softcap"))
 def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
                         q_offset: int | None = None, window: int = 0,
-                        softcap: float = 0.0):
+                        softcap: float = 0.0, sinks=None):
     """Straightforward softmax(QK^T * scale) V in the input dtype.
 
     Shapes: q, k, v are (batch, heads, seq, d_head). Matmuls run in the input
     dtype with fp32 accumulation (``preferred_element_type``), softmax in the
     upcast dtype — mirroring how the reference's 16-bit torch einsum behaves.
+
+    ``sinks`` (optional, (heads,) fp32) are GPT-OSS/StreamingLLM-style
+    attention sinks: one learned logit per head that participates in the
+    softmax denominator but contributes no value — softmax is taken over
+    ``[scale * QK^T, sink]`` and the sink column is dropped.
     """
     d = q.shape[-1]
     scale = scale_override if scale_override is not None else 1.0 / math.sqrt(d)
@@ -41,10 +46,14 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)
     # precision=HIGHEST so the fp32 oracle is a true fp32 oracle on TPU (the
-    # default TPU matmul precision would silently round f32 operands to bf16).
+    # default TPU matmul precision would silently round f32 operands to
+    # bf16). Only for f32 inputs: 16-bit operands are already exact on the
+    # MXU, and Mosaic rejects bf16 dots carrying fp32 contract precision
+    # ("Bad lhs type") in some fusions (seen with the softcap tanh).
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     s = s * scale
     if softcap:
@@ -62,16 +71,31 @@ def reference_attention(q, k, v, *, causal: bool = False, scale_override=None,
             # Sliding window: q position p sees kv (p - window, p].
             mask &= ~jnp.tril(jnp.ones((q_len, k_len), dtype=bool),
                               k=diag - window)
-        s = jnp.where(mask, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        # Finite mask value, not -inf: XLA may fuse this softmax into the PV
+        # matmul with a *blockwise* max, and a fully-masked KV block then
+        # yields exp(-inf - (-inf)) = NaN (observed with the softcap tanh in
+        # the graph, rows whose masked span covers a whole block). Same
+        # choice as the kernel's MASK_VALUE.
+        s = jnp.where(mask, s, -1e30)
+    if sinks is not None:
+        # Append the per-head sink logit as a virtual column, softmax over
+        # the augmented row, then drop the sink column: it shrinks every
+        # real weight by its share of the denominator.
+        z = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, -1, 1, 1),
+            (*s.shape[:-1], 1))
+        p = jax.nn.softmax(jnp.concatenate([s, z], axis=-1), axis=-1)
+        p = p[..., :-1].astype(q.dtype)
+    else:
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p, v,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=prec,
     ).astype(q.dtype)
 
 
 def reference_pair(q, k, v, *, causal: bool = False, q_offset=None,
-                   window: int = 0, softcap: float = 0.0):
+                   window: int = 0, softcap: float = 0.0, sinks=None):
     """(native-dtype output, fp32 output) for the adaptive tolerance rule.
 
     Port of the double-oracle setup in ``test/utils.py:137-162``: the fp32
@@ -80,10 +104,11 @@ def reference_pair(q, k, v, *, causal: bool = False, q_offset=None,
     """
     out_native = reference_attention(q, k, v, causal=causal,
                                      q_offset=q_offset, window=window,
-                                     softcap=softcap)
+                                     softcap=softcap, sinks=sinks)
     out_fp32 = reference_attention(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
         causal=causal, q_offset=q_offset, window=window, softcap=softcap,
+        sinks=sinks,
     )
     return out_native, out_fp32
 
