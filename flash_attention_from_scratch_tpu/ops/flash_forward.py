@@ -66,6 +66,25 @@ def _row_sum(cfg: KernelConfig, p, p_mm):
     return jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _sink_merge(cfg: KernelConfig, z, m_col, l_col, acc):
+    """Fold a per-head attention-sink logit into the final normalization.
+
+    GPT-OSS/StreamingLLM sinks: one learned logit per head that joins the
+    softmax denominator but carries no value. Merging it is one more
+    flash-style partial combine at finalization — the sink is a "block"
+    whose row max is ``z`` and whose PV contribution is zero. ``z`` is the
+    raw logit (never multiplied by the softmax scale); the running stats
+    live in the log2 domain under ``use_exp2``, so the sink co-scales.
+    Returns (rescaled acc, total denominator).
+    """
+    exp_fn = jnp.exp2 if cfg.use_exp2 else jnp.exp
+    zc = z * LOG2E if cfg.use_exp2 else z
+    m_tot = jnp.maximum(m_col, zc)
+    alpha = exp_fn(m_col - m_tot)
+    l_tot = l_col * alpha + exp_fn(zc - m_tot)
+    return acc * alpha, l_tot
+
+
 def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_prev, l_prev, acc_prev):
     """One online-softmax update given the raw S tile (fp32).
 
@@ -241,9 +260,17 @@ def _grid_kernel_with_lse(cfg, scale, num_kv,
                  acc_ref, m_ref, l_ref, lse_ref=lse_ref)
 
 
+def _grid_kernel_sinks(cfg, scale, num_kv,
+                       q_ref, k_ref, v_ref, sinks_ref, o_ref,
+                       acc_ref, m_ref, l_ref):
+    """Ref-order shim: the sinks input follows v in the in_specs."""
+    _grid_kernel(cfg, scale, num_kv, q_ref, k_ref, v_ref, o_ref,
+                 acc_ref, m_ref, l_ref, sinks_ref=sinks_ref)
+
+
 def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
                  q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-                 lse_ref=None):
+                 lse_ref=None, sinks_ref=None):
     kv_step = pl.program_id(3)
     qi = pl.program_id(2)
     is_first = kv_step == 0
@@ -361,7 +388,13 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
     @pl.when(is_last)
     def _():
         # Final normalization (ref softmax.cuh:107-128) + downcast + store.
-        o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if sinks_ref is not None:
+            acc_s, l_tot = _sink_merge(cfg, sinks_ref[pl.program_id(1)],
+                                       m_ref[:, :1], l_ref[:, :1],
+                                       acc_ref[...])
+            o_ref[0, 0] = (acc_s / l_tot).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
         if lse_ref is not None:
             # Natural-log row log-sum-exp of the *scaled* scores — the
             # backward pass residual. Running stats live in log2 domain when
@@ -379,7 +412,8 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
 
 def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
                      seq_q: int, seq_kv: int, interpret: bool, debug: bool = False,
-                     kv_heads: int | None = None, return_lse: bool = False):
+                     kv_heads: int | None = None, return_lse: bool = False,
+                     has_sinks: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
@@ -392,7 +426,9 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
         return (b, h // group if group > 1 else h, blk, 0)
 
     grid = (batch, heads, num_q, num_kv)
-    kernel = functools.partial(_grid_kernel, cfg, scale, num_kv)
+    kernel = (functools.partial(_grid_kernel_sinks, cfg, scale, num_kv)
+              if has_sinks else
+              functools.partial(_grid_kernel, cfg, scale, num_kv))
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     out_specs = pl.BlockSpec((1, 1, cfg.block_q, d),
@@ -408,15 +444,20 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((batch, heads, seq_q, 1), jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    if has_sinks:
+        # Per-Q-head sink logits, (heads,) fp32 — scalars, so SMEM.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -444,9 +485,17 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
 # ---------------------------------------------------------------------------
 
 
+def _fori_kernel_sinks(cfg, scale, num_kv, group,
+                       q_ref, k_hbm, v_hbm, sinks_ref, o_ref,
+                       k_buf, v_buf, sems):
+    """Ref-order shim: the sinks input follows v in the in_specs."""
+    _fori_kernel(cfg, scale, num_kv, group, q_ref, k_hbm, v_hbm, o_ref,
+                 k_buf, v_buf, sems, sinks_ref=sinks_ref)
+
+
 def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  q_ref, k_hbm, v_hbm, o_ref,
-                 k_buf, v_buf, sems):
+                 k_buf, v_buf, sems, sinks_ref=None):
     bi = pl.program_id(0)
     hi = pl.program_id(1) // group if group > 1 else pl.program_id(1)
     qi = pl.program_id(2)
@@ -542,29 +591,40 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         jnp.zeros((cfg.block_q, cfg.d_head), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, n_steps, body, init)
-    o_ref[0, 0] = (acc / l[:, :1]).astype(o_ref.dtype)
+    if sinks_ref is not None:
+        acc, l_tot = _sink_merge(cfg, sinks_ref[pl.program_id(1)],
+                                 m[:, :1], l[:, :1], acc)
+        o_ref[0, 0] = (acc / l_tot).astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = (acc / l[:, :1]).astype(o_ref.dtype)
 
 
 def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
                      seq_q: int, seq_kv: int, interpret: bool, debug: bool = False,
-                     kv_heads: int | None = None):
+                     kv_heads: int | None = None, has_sinks: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
     nbuf = max(cfg.num_kv_buffers, 1)
     group = heads // (kv_heads or heads)
-    kernel = functools.partial(_fori_kernel, cfg, scale, num_kv, group)
+    kernel = (functools.partial(_fori_kernel_sinks, cfg, scale, num_kv, group)
+              if has_sinks else
+              functools.partial(_fori_kernel, cfg, scale, num_kv, group))
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
+
+    in_specs = [
+        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi: (b, h, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM, DMA'd manually
+        pl.BlockSpec(memory_space=pl.ANY),  # V likewise
+    ]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
     return pl.pallas_call(
         kernel,
         grid=(batch, heads, num_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi: (b, h, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM, DMA'd manually
-            pl.BlockSpec(memory_space=pl.ANY),  # V likewise
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
                                lambda b, h, qi: (b, h, qi, 0),
                                memory_space=pltpu.VMEM),
@@ -613,7 +673,8 @@ def _validate(cfg: KernelConfig, q, k, v):
 def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                        seq_kv: int, scale: float | None = None,
                        interpret: bool | None = None, debug: bool = False,
-                       kv_heads: int | None = None, return_lse: bool = False):
+                       kv_heads: int | None = None, return_lse: bool = False,
+                       has_sinks: bool = False):
     """Build the pallas_call for one (config, shape) specialization.
 
     The analogue of one template instantiation in the reference's generated
@@ -621,34 +682,47 @@ def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
     :func:`flash_forward` / ``dispatch.forward`` which cache these.
     ``kv_heads`` (default ``heads``) enables grouped-query attention: Q head
     ``h`` attends over KV head ``h // (heads // kv_heads)``.
+    ``has_sinks`` adds a trailing (heads,) fp32 input of per-head attention
+    sink logits (GPT-OSS-style), merged into the final normalization.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if has_sinks and return_lse:
+        # The backward kernels don't model the sink term yet; refuse rather
+        # than hand autodiff a silently-wrong residual.
+        raise NotImplementedError("return_lse with attention sinks")
     if cfg.kv_loop == KVLoop.GRID:
         return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
-                                debug, kv_heads, return_lse)
+                                debug, kv_heads, return_lse, has_sinks)
     if return_lse:
         raise NotImplementedError("return_lse requires kv_loop=GRID")
     return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
-                            debug, kv_heads)
+                            debug, kv_heads, has_sinks)
 
 
 @functools.lru_cache(maxsize=512)
 def _cached_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
-                    seq_kv: int, scale: float, interpret: bool, kv_heads: int):
+                    seq_kv: int, scale: float, interpret: bool, kv_heads: int,
+                    has_sinks: bool = False):
     call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret,
-                              kv_heads=kv_heads)
+                              kv_heads=kv_heads, has_sinks=has_sinks)
+    if has_sinks:
+        return jax.jit(lambda q, k, v, sinks: call(q, k, v, sinks))
     return jax.jit(lambda q, k, v: call(q, k, v))
 
 
 def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
-                  scale: float | None = None, interpret: bool | None = None):
+                  scale: float | None = None, interpret: bool | None = None,
+                  sinks=None):
     """Flash attention forward: softmax(Q K^T * scale) V, fused on the MXU.
 
     Public entry point (analogue of ``flash_attention.forward``,
     ``flash_attention/__init__.py:7-11``). Inputs (batch, heads, seq, d_head).
+    ``sinks`` (optional, (heads,) fp32): GPT-OSS-style per-head attention
+    sink logits — softmax is taken over [scaled scores, sink] with the sink
+    column dropped, i.e. the sink joins the denominator only.
     """
     if cfg is None:
         cfg = KernelConfig.for_shape(
@@ -656,12 +730,18 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
             dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
         )
     _validate(cfg, q, k, v)
+    if sinks is not None and sinks.shape != (q.shape[1],):
+        raise ValueError(
+            f"sinks must be (heads,) = ({q.shape[1]},), got {sinks.shape}")
     if scale is None:
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fn = _cached_forward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
-                         float(scale), interpret, k.shape[1])
+                         float(scale), interpret, k.shape[1],
+                         sinks is not None)
+    if sinks is not None:
+        return fn(q, k, v, sinks.astype(jnp.float32))
     return fn(q, k, v)
 
 
