@@ -520,7 +520,9 @@ def _paged_attention_maybe_sharded(q, kp, vp, ks, vs, lengths, page_tables,
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import MODEL_AXIS
+    from ..parallel.mesh import MODEL_AXIS, mesh_interpret
+
+    interpret = mesh_interpret(mesh, interpret)
 
     # q is (batch, heads, d) for single-token decode, (batch, heads, t, d)
     # for the multi-token verify step — heads shard over tp either way.

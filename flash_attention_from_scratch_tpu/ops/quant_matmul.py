@@ -532,6 +532,13 @@ def xla_fallback_mode(on: bool = True):
 # trace-time, flipped by @spmd_safe on the mesh-aware model entry points.
 _SPMD_PARTITION = contextvars.ContextVar("qmm_spmd_partition", default=False)
 
+# interpret=None default for quant matmuls reached through a mesh-aware
+# entry point (prefill/decode_step/forward with mesh=...): the mesh's
+# devices say where the kernel runs, while jax.default_backend() reports
+# the process default — wrong on a TPU-attached box driving a virtual-CPU
+# mesh. Set by @spmd_safe, read by quant_matmul.
+_INTERPRET_OVERRIDE = contextvars.ContextVar("qmm_interpret", default=None)
+
 
 def _spec_of(info):
     sh = getattr(info, "sharding", None)
@@ -668,8 +675,17 @@ def spmd_safe(fn):
 
     @_ft.wraps(fn)
     def wrapper(*args, **kwargs):
-        with spmd_partition_mode(kwargs.get("mesh") is not None):
-            return fn(*args, **kwargs)
+        mesh = kwargs.get("mesh")
+        tok = None
+        if mesh is not None:
+            tok = _INTERPRET_OVERRIDE.set(
+                mesh.devices.flat[0].platform == "cpu")
+        try:
+            with spmd_partition_mode(mesh is not None):
+                return fn(*args, **kwargs)
+        finally:
+            if tok is not None:
+                _INTERPRET_OVERRIDE.reset(tok)
     return wrapper
 
 
@@ -697,6 +713,8 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     ceiling. Adds ~0.4% relative activation rounding error — opt in per
     weight via ``quantize_weight(..., act="int8")`` or per call.
     """
+    if interpret is None:
+        interpret = _INTERPRET_OVERRIDE.get()
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     k, n = wq.shape

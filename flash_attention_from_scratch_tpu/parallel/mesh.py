@@ -15,10 +15,27 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "llama_param_specs", "shard_params", "pin_residual",
-           "DATA_AXIS", "MODEL_AXIS"]
+           "mesh_interpret", "DATA_AXIS", "MODEL_AXIS"]
 
 DATA_AXIS = "dp"
 MODEL_AXIS = "tp"
+
+
+def mesh_interpret(mesh, interpret=None) -> bool:
+    """Resolve ``interpret=None`` against the MESH's devices, not the
+    process default backend.
+
+    On a TPU-attached dev box ``jax.default_backend()`` is "tpu" even when
+    the computation targets a virtual-CPU mesh (conftest adds 8 host
+    devices for sharding tests), so backend-based resolution would compile
+    Pallas kernels for CPU and crash. The mesh says where the kernel
+    actually runs.
+    """
+    if interpret is not None:
+        return interpret
+    if mesh is not None:
+        return mesh.devices.flat[0].platform == "cpu"
+    return jax.default_backend() == "cpu"
 
 
 def make_mesh(dp: int, tp: int, devices=None) -> Mesh:

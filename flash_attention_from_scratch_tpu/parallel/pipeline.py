@@ -97,6 +97,9 @@ def pipeline_forward(params: dict, tokens, cfg: LlamaConfig, mesh: Mesh,
     batch must split into ``n_micro`` microbatches. The wall-clock cost is
     (n_micro + n_stages - 1) stage steps — the GPipe schedule.
     """
+    from .mesh import mesh_interpret
+
+    interpret = mesh_interpret(mesh, interpret)
     n_stages = mesh.shape[PIPELINE_AXIS]
     batch, seq = tokens.shape
     if batch % n_micro:

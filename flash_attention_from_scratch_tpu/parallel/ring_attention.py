@@ -61,6 +61,9 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     same way. Differentiable: the backward runs its own ring (see
     ``_ring_bwd``).
     """
+    from .mesh import mesh_interpret
+
+    interpret = mesh_interpret(mesh, interpret)
     if causal is None:
         causal = cfg.causal
     if cfg.window or cfg.q_offset:

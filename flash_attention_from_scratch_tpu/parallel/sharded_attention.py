@@ -20,7 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.autodiff import flash_attention
 from ..ops.configs import KernelConfig
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, mesh_interpret
 
 __all__ = ["shard_mapped_attention"]
 
@@ -32,6 +32,7 @@ def shard_mapped_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     Inputs are (batch, heads, seq, d_head) global arrays; each device runs
     the single-chip kernel on its (batch/dp, heads/tp) shard.
     """
+    interpret = mesh_interpret(mesh, interpret)
     spec = P(DATA_AXIS, MODEL_AXIS, None, None)
 
     @partial(
