@@ -554,9 +554,14 @@ def _dim_axis(spec, i):
 
 @functools.lru_cache(maxsize=64)
 def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
-                          block_k: int, block_n: int, interpret: bool,
+                          block_k: int, block_n: int,
+                          interpret: bool | None,
                           out_dtype_name: str = "bfloat16"):
     """custom_partitioning-wrapped quant matmul for one static config.
+
+    ``interpret=None`` is resolved per-mesh inside ``partition`` (the only
+    place the actual device mesh is known — the process default backend is
+    wrong on a TPU-attached box driving a virtual-CPU mesh).
 
     Sharding contract (derived from the WEIGHT operand, matching
     parallel.mesh.llama_param_specs):
@@ -572,17 +577,22 @@ def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    kw = dict(mode=mode, act_quant=act_quant, block_m=block_m,
-              block_k=block_k, block_n=block_n, n_inner=False,
-              interpret=interpret, out_dtype_name=out_dtype_name)
+    from ..parallel.mesh import mesh_interpret
+
+    def kw(interp):
+        return dict(mode=mode, act_quant=act_quant, block_m=block_m,
+                    block_k=block_k, block_n=block_n, n_inner=False,
+                    interpret=interp, out_dtype_name=out_dtype_name)
 
     if act_quant:
         def impl(x_q, xs, values, scales2):
-            return _qmm_local((x_q, xs), values, scales2, **kw)
+            return _qmm_local((x_q, xs), values, scales2,
+                              **kw(mesh_interpret(None, interpret)))
         w_idx = 2
     else:
         def impl(x2, values, scales2):
-            return _qmm_local(x2, values, scales2, **kw)
+            return _qmm_local(x2, values, scales2,
+                              **kw(mesh_interpret(None, interpret)))
         w_idx = 1
 
     fn = custom_partitioning(impl)
@@ -622,14 +632,15 @@ def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
                 NamedSharding(mesh, P(None, n_axis)),
             )
         result_sharding = NamedSharding(mesh, P(m_axis, n_axis))
+        kw_p = kw(mesh_interpret(mesh, interpret))
 
         def lower(*ops):
             if act_quant:
                 x_q, xs, values, scales2 = ops
-                out = _qmm_local((x_q, xs), values, scales2, **kw)
+                out = _qmm_local((x_q, xs), values, scales2, **kw_p)
             else:
                 x2, values, scales2 = ops
-                out = _qmm_local(x2, values, scales2, **kw)
+                out = _qmm_local(x2, values, scales2, **kw_p)
             if k_axis is not None:
                 # Row-parallel: shards hold partial products over their K
                 # slice; the dequant scales are linear, so summing the
@@ -665,21 +676,32 @@ def spmd_partition_mode(on: bool = True):
 
 
 def spmd_safe(fn):
-    """Decorator: whenever ``fn`` is called with a non-None ``mesh`` kwarg,
-    quant matmuls trace through the custom_partitioning wrapper — GSPMD
-    then runs the Pallas weight-stream kernel on each device's own weight
-    shard (column-parallel: zero collectives; row-parallel: psum of
-    partials) instead of failing to shard the raw Mosaic custom call.
-    Single-chip calls are untouched."""
+    """Decorator: whenever ``fn`` is called with a non-None ``mesh``
+    argument (positional or keyword), quant matmuls trace through the
+    custom_partitioning wrapper — GSPMD then runs the Pallas weight-stream
+    kernel on each device's own weight shard (column-parallel: zero
+    collectives; row-parallel: psum of partials) instead of failing to
+    shard the raw Mosaic custom call. Single-chip calls are untouched.
+
+    Interpret-mode resolution is delegated to ``parallel.mesh
+    .mesh_interpret`` so an explicit ``interpret=`` on the entry point
+    propagates to the quant kernels exactly as it does to the attention
+    kernels, and the platform logic lives in one place."""
     import functools as _ft
+    import inspect as _inspect
+
+    sig = _inspect.signature(fn)
 
     @_ft.wraps(fn)
     def wrapper(*args, **kwargs):
-        mesh = kwargs.get("mesh")
+        bound = sig.bind_partial(*args, **kwargs).arguments
+        mesh = bound.get("mesh")
         tok = None
         if mesh is not None:
+            from ..parallel.mesh import mesh_interpret
+
             tok = _INTERPRET_OVERRIDE.set(
-                mesh.devices.flat[0].platform == "cpu")
+                mesh_interpret(mesh, bound.get("interpret")))
         try:
             with spmd_partition_mode(mesh is not None):
                 return fn(*args, **kwargs)
@@ -715,6 +737,10 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     """
     if interpret is None:
         interpret = _INTERPRET_OVERRIDE.get()
+    # Possibly-None view for the custom_partitioning path, which resolves
+    # None against its actual mesh at partition time (the process default
+    # backend is wrong for a virtual-CPU mesh on a TPU-attached box).
+    interpret_arg = interpret
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     k, n = wq.shape
@@ -757,7 +783,8 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
         scales = wq.scales.reshape(1, n).astype(jnp.float32)
         if spmd:
             pfn = _make_qmm_partitioned(wq.mode, True, block_m, block_k,
-                                        block_n, interpret, str(x.dtype))
+                                        block_n, interpret_arg,
+                                        str(x.dtype))
             return pfn(x_q, xs, wq.values, scales).reshape(*lead, n)
         fn = _build_qmm_a8(m, k, n, wq.mode, str(x.dtype), bm, bk, bn,
                            interpret)
@@ -773,7 +800,7 @@ def quant_matmul(x, wq: QuantizedWeight, *, block_m: int = 256,
     scales = wq.scales.reshape(1, n).astype(jnp.float32)
     if spmd:
         pfn = _make_qmm_partitioned(wq.mode, False, block_m, block_k,
-                                    block_n, interpret, str(x.dtype))
+                                    block_n, interpret_arg, str(x.dtype))
         return pfn(x2, wq.values, scales).reshape(*lead, n)
     use_n_inner = (n_inner and wq.mode == "int8"
                    and bm * n * 4 <= 16 * 1024 * 1024)

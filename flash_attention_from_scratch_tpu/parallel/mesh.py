@@ -33,8 +33,12 @@ def mesh_interpret(mesh, interpret=None) -> bool:
     """
     if interpret is not None:
         return interpret
-    if mesh is not None:
-        return mesh.devices.flat[0].platform == "cpu"
+    devices = getattr(mesh, "devices", None) if mesh is not None else None
+    if devices is not None:
+        # Concrete Mesh. AbstractMesh (jax.sharding.use_mesh /
+        # get_abstract_mesh flows) has no .devices — fall through to the
+        # process default backend for those.
+        return devices.flat[0].platform == "cpu"
     return jax.default_backend() == "cpu"
 
 
