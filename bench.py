@@ -50,7 +50,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import flash_attention_from_scratch_tpu as fa
-from flash_attention_from_scratch_tpu.dispatch import median_runtime
+from flash_attention_from_scratch_tpu.dispatch import scan_runtime
 from flash_attention_from_scratch_tpu.utils.chip import chip_sol_tflops, device_kind
 from flash_attention_from_scratch_tpu.utils.testing import (
     BATCH_SIZE_FOR_SEQ_LEN,
@@ -70,8 +70,8 @@ def jax_builtin_flash_tflops(q, k, v, flops: float) -> float:
     bs = BlockSizes(block_q=512, block_k_major=1024, block_k=1024, block_b=1)
     fn = jax.jit(lambda q, k, v: flash_attention(
         q, k, v, causal=False, sm_scale=sm, block_sizes=bs))
-    secs = median_runtime(lambda: fn(q, k, v), warmup=2, iters=5,
-                          chain_fn=lambda prev: fn(prev, k, v))
+    secs = scan_runtime(lambda x, k, v: fn(x, k, v), q, k, v, iters=5,
+                        est_secs=flops / 150e12)
     return flops / secs / 1e12
 
 
@@ -82,11 +82,14 @@ def main():
                            dtype=jnp.bfloat16)
     cfg = fa.KernelConfig.for_shape(seq, seq)
     flops = fa.calc_self_attn_flop(seq, d_head, heads, batch)
-    # Chained dispatches (output feeds the next Q): identical-dispatch
-    # streams can be served too fast through the relay, and the headline
-    # number must never benefit from a timing artifact.
-    secs = median_runtime(lambda: fa.forward(q, k, v, cfg), warmup=3, iters=7,
-                          chain_fn=lambda prev: fa.forward(prev, k, v, cfg))
+    # In-jit lax.scan chain (each step's output feeds the next step's Q,
+    # all inside ONE dispatch), timed at two chain lengths with the slope
+    # taken: pure device seconds, immune to the relay's identical-dispatch
+    # artifact AND to any host-side enqueue costs. Host-fenced value-chained
+    # timing (the previous method) was observed to over-report ~40% at some
+    # shapes even with chaining.
+    secs = scan_runtime(lambda x, k, v: fa.forward(x, k, v, cfg), q, k, v,
+                        iters=7, est_secs=flops / 150e12)
     tflops = flops / secs / 1e12
     baseline = jax_builtin_flash_tflops(q, k, v, flops)
     sol = chip_sol_tflops()

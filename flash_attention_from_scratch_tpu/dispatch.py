@@ -9,6 +9,7 @@ cudaEvent timing path (``forward_timed``). On TPU the dispatch table is
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -16,7 +17,7 @@ import jax
 from .ops.configs import KernelConfig
 from .ops.flash_forward import flash_forward
 
-__all__ = ["forward_timed", "median_runtime", "sync"]
+__all__ = ["forward_timed", "median_runtime", "scan_runtime", "sync"]
 
 
 def sync(x):
@@ -61,9 +62,6 @@ def forward_timed(q, k, v, cfg: KernelConfig | None = None, *, scale=None,
     return out, runtime
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=1)
 def sync_overhead() -> float:
     """Median cost of one host-readback fence (measured ~35-44 ms through the
@@ -80,6 +78,68 @@ def sync_overhead() -> float:
         samples.append(time.perf_counter() - t0)
     samples.sort()
     return samples[len(samples) // 2]
+
+
+def scan_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
+                 est_secs: float | None = None) -> float:
+    """Pure device seconds per ``step_fn`` call: N chained calls in ONE jit.
+
+    ``step_fn(x, *args) -> y`` must preserve x's shape/dtype (self-attention
+    does: the output re-enters as the next Q). The chain runs under a single
+    ``lax.scan`` inside one jit, so per-dispatch host/tunnel cost is paid
+    once per *trial*, not once per call — the measurement the reference gets
+    from NCU kernel Duration (``ncu_bench.py:31-56``) and this repo's decode
+    bench gets from ``decode_loop``. Two chain lengths (N and 2N) are timed
+    and the slope taken, so even that single fixed dispatch+fence cost
+    cancels exactly; the scan's data dependence also defeats the
+    identical-dispatch relay artifact by construction (see
+    :func:`median_runtime`).
+
+    Loop-invariant operands (K, V) must come through ``*args``, NOT a
+    closure: closed-over arrays trace as jaxpr *constants* and ship inside
+    the compile request, which a tunneled compile service rejects for
+    multi-hundred-MB tensors (observed: HTTP 413 at seq >= 2048 batch 16).
+
+    Use for sub-millisecond kernels (small seq_len) where host-side
+    enqueueing is comparable to kernel runtime; host timing has also been
+    observed to over-report ~40% through the relay even with value-chained
+    dispatches, so this is the default benchmark timer.
+    """
+    if steps is None:
+        if est_secs is None:
+            # One rough host-fenced sample to size the chain.
+            sync(step_fn(x0, *args))
+            t0 = time.perf_counter()
+            sync(step_fn(x0, *args))
+            est_secs = max(time.perf_counter() - t0 - sync_overhead(), 1e-5)
+        # Aim for ~100 ms per short trial: long enough to dwarf the fence,
+        # short enough that 2*iters trials stay interactive.
+        steps = int(min(max(0.1 / est_secs, 4), 512))
+
+    def chained(n):
+        @jax.jit
+        def run(x, *a):
+            def body(x, _):
+                return step_fn(x, *a), None
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return y
+        return run
+
+    f1, f2 = chained(steps), chained(2 * steps)
+    sync(f1(x0, *args))  # compile + warm
+    sync(f2(x0, *args))
+    t1s, t2s = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(f1(x0, *args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sync(f2(x0, *args))
+        t2s.append(time.perf_counter() - t0)
+    t1s.sort()
+    t2s.sort()
+    t1, t2 = t1s[len(t1s) // 2], t2s[len(t2s) // 2]
+    return max((t2 - t1) / steps, 1e-9)
 
 
 def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None,
