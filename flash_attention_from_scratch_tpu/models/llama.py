@@ -59,7 +59,8 @@ class LlamaConfig:
     block_kv: int = 2048
     # Sliding-window attention (Mistral-style): each position attends only
     # the previous `sliding_window` tokens. 0 = full causal attention.
-    # Inference-only for now (the backward kernels mask plain causal).
+    # Trains too: the backward kernels thread the same window/softcap masks
+    # as the forward (ops/flash_backward.py).
     sliding_window: int = 0
     # Per-layer window cycle (Gemma-2 / GPT-OSS style): layer i uses
     # window_pattern[i % len] (0 = global). Overrides sliding_window when

@@ -5,7 +5,9 @@ support is an extension. The VJP follows the FA2 recipe: the forward saves
 only (O, LSE) — O(seq) residual memory — and the backward kernels in
 ``flash_backward.py`` recompute S/P blockwise on the MXU. GQA shapes
 differentiate natively (dK/dV accumulate over the Q-head group inside the
-dKV kernel).
+dKV kernel); sliding windows (Mistral), logit softcaps (Gemma-2), and
+offset-causal chunks differentiate through the same masks/bends the forward
+applies.
 """
 
 from __future__ import annotations
@@ -38,18 +40,6 @@ def flash_attention(q, k, v, cfg: KernelConfig | None = None,
 
 def _fwd(q, k, v, cfg, interpret):
     rcfg = _resolve(q, k, cfg)
-    if rcfg.q_offset:
-        raise NotImplementedError(
-            "q_offset (chunked-prefill offset-causal) is inference-only; "
-            "the backward kernels assume top-left causal alignment")
-    if rcfg.window:
-        raise NotImplementedError(
-            "sliding-window attention is inference-only; the backward "
-            "kernels mask plain causal")
-    if rcfg.attn_softcap:
-        raise NotImplementedError(
-            "attn_softcap is inference-only; the backward kernels assume "
-            "raw scaled scores")
     if rcfg.kv_loop != KVLoop.GRID:
         # The residual (LSE) path is only built for the pipelined GRID
         # variant; FORI exists for ladder comparisons, not training.

@@ -44,33 +44,69 @@ from .flash_forward import LOG2E, _mm_precision
 __all__ = ["flash_backward", "make_flash_backward"]
 
 
-def _mask_pt(pt, q_span, kv_start):
-    """Zero P^T entries above the causal diagonal (rows=KV, cols=Q)."""
+def _mask_pt(cfg, pt, q_span, kv_start):
+    """Zero P^T entries above the causal diagonal (rows=KV, cols=Q).
+
+    ``q_span`` already carries ``cfg.q_offset`` (offset-causal chunks); with
+    a sliding window, entries below the window (q_pos - k_pos >= window) are
+    zeroed too — mirroring the forward's mask (flash_forward._attend_block).
+    """
     k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, pt.shape, 0)
     q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, pt.shape, 1)
-    return jnp.where(q_pos >= k_pos, pt, 0.0)
+    keep = q_pos >= k_pos
+    if cfg.window:
+        keep = jnp.logical_and(keep, q_pos - k_pos < cfg.window)
+    return jnp.where(keep, pt, 0.0)
 
 
 def _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start):
-    """P^T tile (block_kv, block_q) fp32 from saved LSE (no renormalize)."""
+    """(P^T tile, softcap slope) fp32 from saved LSE (no renormalize).
+
+    With ``attn_softcap`` the forward's logits were cap*tanh(s/cap); P is
+    recomputed through the same bend, and the returned slope
+    d(capped)/d(s) = 1 - tanh^2 re-scales dS in :func:`_dst_tile`
+    (None when no cap). (block_kv, block_q) throughout.
+    """
     st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=_mm_precision(cfg),
     )
-    c = scale * LOG2E
-    pt = jnp.exp2(st * c - lse_row * LOG2E)
+    dcap = None
+    if cfg.attn_softcap:
+        t = jnp.tanh(st * (scale / cfg.attn_softcap))
+        dcap = 1.0 - t * t
+        pt = jnp.exp2((cfg.attn_softcap * LOG2E) * t - lse_row * LOG2E)
+    else:
+        pt = jnp.exp2(st * (scale * LOG2E) - lse_row * LOG2E)
     if cfg.causal:
-        pt = _mask_pt(pt, q_span, kv_start)
-    return pt
+        pt = _mask_pt(cfg, pt, q_span, kv_start)
+    return pt, dcap
 
 
-def _dst_tile(cfg, scale, pt, v, do, d_row):
-    """dS^T * scale as a bf16 MXU operand: P^T * (dP^T - D) * scale."""
+def _dst_tile(cfg, scale, pt, dcap, v, do, d_row):
+    """dS^T * scale as a bf16 MXU operand: P^T * (dP^T - D) * [slope] * scale."""
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=_mm_precision(cfg),
     )
-    return ((pt * (dpt - d_row)) * scale).astype(cfg.dtype.jnp_dtype)
+    dst = pt * (dpt - d_row)
+    if dcap is not None:
+        dst = dst * dcap
+    return (dst * scale).astype(cfg.dtype.jnp_dtype)
+
+
+def _block_visible(cfg, q_span, kv_start):
+    """Does this (Q block, KV block) pair contain any unmasked entry?
+
+    Above-diagonal blocks never do; with a window, blocks entirely below
+    every row's window ((kv_start + block_kv - 1) < q_span - window + 1)
+    don't either — the same predicate the forward kernels use.
+    """
+    visible = kv_start <= q_span + cfg.block_q - 1
+    if cfg.window:
+        visible = jnp.logical_and(
+            visible, kv_start + cfg.block_kv - 1 >= q_span - cfg.window + 1)
+    return visible
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +123,8 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
     is_first = jnp.logical_and(g == 0, qi == 0)
     is_last = jnp.logical_and(g == group - 1, qi == num_q - 1)
 
-    q_span = qi * cfg.block_q
+    q_row = qi * cfg.block_q  # local row offset into this head's seq_q axis
+    q_span = q_row + cfg.q_offset  # global position (offset-causal chunks)
     kv_start = kj * cfg.block_kv
 
     @pl.when(is_first)
@@ -97,9 +134,9 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
 
     visible = True
     if cfg.causal:
-        # KV block strictly above the diagonal for this whole Q block ->
-        # P^T == 0 -> no gradient contribution.
-        visible = kv_start <= q_span + cfg.block_q - 1
+        # Blocks with no unmasked entry (above the diagonal, or entirely
+        # below the window) contribute zero gradient.
+        visible = _block_visible(cfg, q_span, kv_start)
 
     def compute():
         q = q_ref[0, 0]
@@ -108,10 +145,10 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
         do = do_ref[0, 0]
         # Row stats arrive as full (1, seq_q) lane rows; slice this Q block's
         # (1, block_q) window — lanes stay lanes, no relayout.
-        lse_row = lse_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
-        d_row = dsum_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+        lse_row = lse_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
+        d_row = dsum_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
 
-        pt = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
+        pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
         pt_mm = pt.astype(cfg.dtype.jnp_dtype)
         # dV_j += P^T dO
         dv_acc[...] += jax.lax.dot_general(
@@ -119,7 +156,7 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
             preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
         )
         # dK_j += (dS^T * scale) Q
-        dst = _dst_tile(cfg, scale, pt, v, do, d_row)
+        dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
         dk_acc[...] += jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
@@ -151,7 +188,8 @@ def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
     is_first = ki == 0
     is_last = ki == num_kv - 1
 
-    q_span = qi * cfg.block_q
+    q_row = qi * cfg.block_q
+    q_span = q_row + cfg.q_offset
     kv_start = ki * cfg.block_kv
 
     @pl.when(is_first)
@@ -160,18 +198,18 @@ def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
 
     visible = True
     if cfg.causal:
-        visible = kv_start <= q_span + cfg.block_q - 1
+        visible = _block_visible(cfg, q_span, kv_start)
 
     def compute():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse_row = lse_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
-        d_row = dsum_ref[0, 0, :, pl.ds(q_span, cfg.block_q)]
+        lse_row = lse_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
+        d_row = dsum_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
 
-        pt = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
-        dst = _dst_tile(cfg, scale, pt, v, do, d_row)
+        pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
+        dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
         # dQ_i += dS K: contract the KV dim (dim 0 of dS^T and of K) on the
         # MXU directly — the tile never transposes back to (q, kv) space.
         dq_acc[...] += jax.lax.dot_general(
@@ -215,7 +253,11 @@ def make_flash_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
         bkv //= 2
     bcfg = KernelConfig(
         block_q=bq, block_kv=bkv, d_head=cfg.d_head, dtype=cfg.dtype,
-        causal=cfg.causal, use_exp2=True,
+        causal=cfg.causal, use_exp2=True, q_offset=cfg.q_offset,
+        window=cfg.window, attn_softcap=cfg.attn_softcap,
+        # optimized_softmax is a forward-only knob the backward never reads;
+        # clear it under window to satisfy the config invariant.
+        optimized_softmax=not cfg.window,
     )
     num_q = seq_q // bq
     num_kv = seq_kv // bkv

@@ -77,13 +77,31 @@ def test_windowed_speculative(params):
         toks.append(g)
 
 
-def test_window_training_grad_raises(params):
-    """The backward kernels mask plain causal: grads under a window raise."""
-    from flash_attention_from_scratch_tpu.models.llama import loss_fn
+def test_window_training(params):
+    """Mistral trains: windowed grads flow and two steps lower the loss.
 
-    tokens = jnp.zeros((1, 129), jnp.int32)
-    with pytest.raises(NotImplementedError, match="window"):
-        jax.grad(lambda p: loss_fn(p, tokens, CFG))(params)
+    (Round 2 this raised NotImplementedError; the backward kernels now
+    thread the window mask — see ops/flash_backward.py.)
+    """
+    from flash_attention_from_scratch_tpu.models.llama import loss_fn
+    from flash_attention_from_scratch_tpu.models.train import (
+        make_optimizer, make_train_step,
+    )
+
+    p = params
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 257), 0, 256)
+    opt = make_optimizer(lr=1e-2)
+    opt_state = opt.init(p)
+    step = jax.jit(make_train_step(CFG, opt))
+    l0 = float(loss_fn(p, tokens, CFG))
+    for _ in range(2):
+        p, opt_state, _ = step(p, opt_state, tokens)
+    l1 = float(loss_fn(p, tokens, CFG))
+    assert l1 < l0, (l0, l1)
+    # The windowed loss differs from full causal (the mask reaches the loss).
+    full_cfg = LlamaConfig(**{**CFG.__dict__, "sliding_window": 0})
+    assert abs(float(loss_fn(params, tokens, full_cfg)) -
+               float(loss_fn(params, tokens, CFG))) > 1e-4
 
 
 def test_alternating_window_pattern(params):
