@@ -19,6 +19,12 @@ holds the shard that originated at ``i - t (mod P)``, which lies strictly
 in the past iff ``i >= t`` — so the step's contribution is merged with its
 LSE masked to -inf on devices where it is future. No per-device control
 flow, just an elementwise select on the merge weights.
+
+Sliding windows compose: hop t's KV columns sit exactly ``t * shard_len``
+behind the Q rows on every participating device, so the hop runs the
+single-chip kernel with ``q_offset = t * shard_len`` and the window mask —
+and hops entirely below the window are never run at all (``_max_hop``), so
+a window much shorter than the global sequence shortens the ring.
 """
 
 from __future__ import annotations
@@ -66,16 +72,46 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     interpret = mesh_interpret(mesh, interpret)
     if causal is None:
         causal = cfg.causal
-    if cfg.window or cfg.q_offset:
-        # The ring rotates KV shards and rebuilds masks per hop assuming
-        # plain (non-)causal alignment; a sliding window or q_offset would
-        # mask the wrong columns on rotated shards. Reject rather than
-        # silently compute wrong attention. (attn_softcap is fine: it is
-        # elementwise on the scores and rides each hop's partial.)
+    if cfg.q_offset:
+        # A global q_offset would shift every shard's alignment; no model
+        # path needs it composed with a ring. (attn_softcap is fine: it is
+        # elementwise on the scores and rides each hop's partial. A sliding
+        # window is handled per hop — see _hop_cfg/_max_hop.)
         raise NotImplementedError(
-            "ring attention supports plain/causal masking only "
-            f"(window={cfg.window}, q_offset={cfg.q_offset})")
+            f"ring attention with q_offset (got {cfg.q_offset})")
+    if cfg.window and not causal:
+        raise ValueError("window requires causal (config invariant)")
     return _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret)
+
+
+def _max_hop(window: int, shard_len: int, n_shards: int) -> int:
+    """Number of ring hops that can contribute under a sliding window.
+
+    Hop t pairs Q rows with KV columns exactly ``t * shard_len`` behind;
+    the closest pair of hop t is ``t*L - (L-1)`` apart, so hops with
+    ``(t-1)*L >= window`` are below every row's window on every device and
+    the ring can stop rotating early — a Mistral-style window of 4K over a
+    128K-token ring runs 2 hops instead of 32.
+    """
+    if not window:
+        return n_shards
+    return min(n_shards, (window - 1) // shard_len + 2)
+
+
+def _hop_cfg(base, causal: bool, window: int, t: int, shard_len: int):
+    """Kernel config for ring hop t (t >= 1; hop 0 is the diagonal).
+
+    Without a window the rotated shard is entirely in the past, so the
+    plain non-causal kernel is correct (and cheapest). With a window the
+    hop re-creates its global alignment via ``q_offset = t * shard_len``:
+    the kernel's mask sees q_pos - k_pos == the true global distance, so
+    both the causal and the window edge land on the right columns.
+    """
+    if not (causal and window):
+        return base
+    return dataclasses.replace(
+        base, causal=True, q_offset=t * shard_len, window=window,
+        optimized_softmax=False)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -86,11 +122,16 @@ def _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret):
 
 def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
     n_shards = mesh.shape[axis]
-    base = dataclasses.replace(cfg, causal=False, kv_loop=KVLoop.GRID)
-    diag = dataclasses.replace(base, causal=causal)
+    shard_len = q.shape[2] // n_shards
+    base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
+                               kv_loop=KVLoop.GRID)
+    diag = dataclasses.replace(
+        base, causal=causal, window=cfg.window,
+        optimized_softmax=base.optimized_softmax and not cfg.window)
     spec = P(None, None, axis, None)
     lse_spec = P(None, None, axis)
     perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+    hops = _max_hop(cfg.window if causal else 0, shard_len, n_shards)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
              out_specs=(spec, lse_spec), check_rep=False)
@@ -100,11 +141,12 @@ def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
         o, lse = flash_forward_with_lse(q, k, v, diag, interpret=interpret)
         o = o.astype(jnp.float32)
         kk, vv = k, v
-        for t in range(1, n_shards):
+        for t in range(1, hops):
             kk = jax.lax.ppermute(kk, axis, perm)
             vv = jax.lax.ppermute(vv, axis, perm)
-            o_t, lse_t = flash_forward_with_lse(q, kk, vv, base,
-                                                interpret=interpret)
+            o_t, lse_t = flash_forward_with_lse(
+                q, kk, vv, _hop_cfg(base, causal, cfg.window, t, shard_len),
+                interpret=interpret)
             if causal:
                 # Shard now held originated at idx - t (mod P): strictly in
                 # the past iff idx >= t; otherwise mask it out of the merge.
@@ -131,10 +173,21 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
     """
     q, k, v, out, lse = res
     n_shards = mesh.shape[axis]
-    base = dataclasses.replace(cfg, causal=False, kv_loop=KVLoop.GRID)
+    shard_len = q.shape[2] // n_shards
+    base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
+                               kv_loop=KVLoop.GRID)
+    diag = dataclasses.replace(
+        base, causal=causal, window=cfg.window,
+        optimized_softmax=base.optimized_softmax and not cfg.window)
     spec = P(None, None, axis, None)
     lse_spec = P(None, None, axis)
     perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+    hops = _max_hop(cfg.window if causal else 0, shard_len, n_shards)
+    # After hops-1 rotations the traveling dK/dV buffers sit with a shard
+    # that originated hops-1 devices back; one jump permutation sends every
+    # buffer home (the original code's "one more hop" generalized to rings
+    # cut short by a window).
+    home = [(s, (s - (hops - 1)) % n_shards) for s in range(n_shards)]
 
     @partial(shard_map, mesh=mesh,
              in_specs=(spec, spec, spec, spec, lse_spec, spec),
@@ -145,11 +198,12 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
         kk, vv = k, v
         dkk = jnp.zeros(k.shape, jnp.float32)
         dvv = jnp.zeros(v.shape, jnp.float32)
-        for t in range(n_shards):
+        for t in range(hops):
             if t > 0:
                 kk, vv, dkk, dvv = (jax.lax.ppermute(x, axis, perm)
                                     for x in (kk, vv, dkk, dvv))
-            pair_cfg = dataclasses.replace(base, causal=causal and t == 0)
+            pair_cfg = diag if t == 0 else _hop_cfg(
+                base, causal, cfg.window, t, shard_len)
             dq_t, dk_t, dv_t = flash_backward(q, kk, vv, out, lse, do,
                                               pair_cfg, interpret=interpret)
             if causal and t > 0:
@@ -161,10 +215,9 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
             dq = dq + dq_t.astype(jnp.float32)
             dkk = dkk + dk_t.astype(jnp.float32)
             dvv = dvv + dv_t.astype(jnp.float32)
-        # One more hop brings each accumulated dK/dV shard back to its
-        # home device (the shard itself has now gone full circle minus one).
-        dkk = jax.lax.ppermute(dkk, axis, perm)
-        dvv = jax.lax.ppermute(dvv, axis, perm)
+        if hops > 1:
+            dkk = jax.lax.ppermute(dkk, axis, home)
+            dvv = jax.lax.ppermute(dvv, axis, home)
         return dq.astype(q.dtype), dkk.astype(k.dtype), dvv.astype(v.dtype)
 
     return _ring_bwd(q, k, v, out, lse, g)

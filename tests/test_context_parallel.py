@@ -33,6 +33,23 @@ def test_cp_loss_matches_single(sp_mesh):
     assert abs(base - cp) < 5e-2, (base, cp)
 
 
+def test_cp_windowed_loss_matches_single(sp_mesh):
+    """Sliding-window context parallelism: ring hops re-align the window
+    mask via q_offset (VERDICT r2 #7) — the sequence-sharded loss must
+    match the single-device windowed loss."""
+    wcfg = LlamaConfig(**{**CFG.__dict__, "sliding_window": 200})
+    params = init_params(wcfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 513), 0, 128)
+
+    base = float(loss_fn(params, tokens, wcfg, interpret=True))
+    with sp_mesh:
+        cp = float(loss_fn(params, tokens, wcfg, interpret=True, mesh=sp_mesh))
+    assert abs(base - cp) < 5e-2, (base, cp)
+    # And the window must actually bite vs full causal.
+    full = float(loss_fn(params, tokens, CFG, interpret=True))
+    assert abs(base - full) > 1e-4 or wcfg.sliding_window >= 512
+
+
 def test_cp_train_step_decreases_loss(sp_mesh):
     params = init_params(CFG, jax.random.PRNGKey(0))
     opt = make_optimizer(lr=1e-2)
