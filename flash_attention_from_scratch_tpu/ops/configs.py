@@ -28,6 +28,7 @@ import jax.numpy as jnp
 __all__ = [
     "DType",
     "KernelConfig",
+    "calc_causal_attn_flop",
     "calc_self_attn_flop",
     "calc_total_flop",
     "calc_tile_softmax_flop",
@@ -144,9 +145,17 @@ class KernelConfig:
     # Split-partials along Q rows: independent row sub-tiles inside one
     # program, each with its own scratch rows — same VPU/MXU overlap as
     # kv_splits but with zero merge cost (row stats never cross sub-tiles).
-    # The small-sequence lever: at seq <= 1024 the whole KV fits one block
-    # and kv_splits has nothing lane-aligned to cut. GRID kernel only.
+    # GRID kernel only.
     q_splits: int = 1
+    # Whole-head packing: one grid program carries `head_pack` heads, each
+    # running its own fully-independent QK^T -> softmax -> PV chain on its
+    # own KV tile and scratch rows. Like q_splits the chains never merge,
+    # but the tiles stay full-size (no MXU-efficiency loss from slicing)
+    # and the per-grid-step fixed cost amortizes over head_pack heads. The
+    # small-sequence lever: at seq <= 1024 one program's whole attention is
+    # a single (q, kv) shot whose serial chain leaves the MXU idle.
+    # GRID kernel only; requires kv_heads == heads (no GQA).
+    head_pack: int = 1
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -230,6 +239,10 @@ class KernelConfig:
                 )
             if self.kv_loop == KVLoop.FORI:
                 raise ValueError("q_splits is implemented for the GRID kernel only")
+        if self.head_pack < 1:
+            raise ValueError("head_pack must be >= 1")
+        if self.head_pack > 1 and self.kv_loop == KVLoop.FORI:
+            raise ValueError("head_pack is implemented for the GRID kernel only")
 
     # Largest S/P fp32 tile the kernel should allocate: measured on v5e,
     # block (512, 16384) — a 32 MB tile — still wins (whole-sequence KV
@@ -239,7 +252,8 @@ class KernelConfig:
 
     @classmethod
     def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int | None = None,
-                  preferred_kv: int | None = None, **kwargs) -> "KernelConfig":
+                  preferred_kv: int | None = None, heads: int | None = None,
+                  kv_heads: int | None = None, **kwargs) -> "KernelConfig":
         """Best-known config clamped so the blocks tile (seq_q, seq_kv).
 
         Blocks shrink to the largest hardware-legal divisor of the sequence
@@ -248,6 +262,11 @@ class KernelConfig:
         KV blocks default to the whole sequence when the S tile fits the
         VMEM budget: one KV step per Q block means a single-shot softmax with
         no running-max rescale (measured +15-17% at seq 8192/16384 on v5e).
+        When ``heads`` is given (and there is no GQA), short sequences pick
+        whole-head packing: one program's serial QK->exp->PV chain leaves
+        the MXU idle below ~2K KV, and 4-8 independent per-head chains in
+        one program overlap it away (+29% at seq 512 on v5e,
+        profiles/bench_sweep_r3.csv).
         """
 
         def clamp(pref: int, seq: int, quantum: int) -> int:
@@ -280,6 +299,20 @@ class KernelConfig:
             sub = 2048 if bkv >= 8192 else 1024
             if bkv % sub == 0:
                 kwargs["kv_splits"] = bkv // sub
+        if ("head_pack" not in kwargs and heads and heads == (kv_heads or heads)
+                and kwargs.get("kv_loop", KVLoop.GRID) == KVLoop.GRID):
+            # Short sequences: amortize the per-program serial chain over
+            # several whole heads (v5e sweep, profiles/bench_sweep_r3.csv:
+            # seq 512 hp8+qs2 130 vs 101 unpacked; seq 1024 hp4 153 vs 148;
+            # >= 2048 the KV walk is long enough that packing stops paying).
+            cap = 8 if seq_kv <= 512 else (4 if seq_kv <= 1024 else 1)
+            hp = next((c for c in (cap, cap // 2, 2)
+                       if 1 < c <= cap and heads % c == 0), 1)
+            if hp > 1:
+                kwargs["head_pack"] = hp
+            if (seq_kv <= 512 and hp > 1 and "q_splits" not in kwargs
+                    and bq % (2 * dtype.min_tile[0]) == 0):
+                kwargs["q_splits"] = 2
         return cls(block_q=bq, block_kv=bkv, **kwargs)
 
     # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,
@@ -297,12 +330,13 @@ class KernelConfig:
         ``FlashForwardKernelConfig::smem_bytes()`` (``flash_attention.cuh:54-56``).
         """
         b = self.dtype.bytes
-        q = self.block_q * self.d_head * b * 2  # double-buffered by pipeline
-        kv = 2 * self.block_kv * self.d_head * b * max(2, self.num_kv_buffers)
-        out = self.block_q * self.d_head * self.resolved_out_dtype.bytes * 2
-        acc = self.block_q * self.d_head * 4
-        stats = 2 * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
-        p = self.block_q * self.block_kv * 4  # S/P tile in fp32
+        hp = self.head_pack
+        q = hp * self.block_q * self.d_head * b * 2  # double-buffered by pipeline
+        kv = hp * 2 * self.block_kv * self.d_head * b * max(2, self.num_kv_buffers)
+        out = hp * self.block_q * self.d_head * self.resolved_out_dtype.bytes * 2
+        acc = hp * self.block_q * self.d_head * 4
+        stats = 2 * hp * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
+        p = self.block_q * self.block_kv * 4  # S/P tile in fp32 (one live head)
         # Split-partials keeps one fp32 accumulator + (m, l) column per
         # sub-tile live until the end-of-block merge.
         partials = (self.kv_splits - 1) * self.block_q * (self.d_head + 2) * 4
@@ -332,6 +366,8 @@ class KernelConfig:
             flags.append(f"sp{self.kv_splits}")
         if self.q_splits > 1:
             flags.append(f"qs{self.q_splits}")
+        if self.head_pack > 1:
+            flags.append(f"hp{self.head_pack}")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -372,13 +408,15 @@ def parse_short_form(s: str) -> KernelConfig:
     if not m:
         raise ValueError(f"cannot parse kernel short form from {s!r}")
     flags = set(m.group("flags").split("+")) - {"none"}
-    kv_splits = q_splits = 1
+    kv_splits = q_splits = head_pack = 1
     q_offset = window = softcap = 0
     for f in flags:
         if f.startswith("sp") and f[2:].isdigit():
             kv_splits = int(f[2:])
         if f.startswith("qs") and f[2:].isdigit():
             q_splits = int(f[2:])
+        if f.startswith("hp") and f[2:].isdigit():
+            head_pack = int(f[2:])
         if f.startswith("qo") and f[2:].isdigit():
             q_offset = int(f[2:])
         if f.startswith("wi") and f[2:].isdigit():
@@ -388,6 +426,7 @@ def parse_short_form(s: str) -> KernelConfig:
     return KernelConfig(
         kv_splits=kv_splits,
         q_splits=q_splits,
+        head_pack=head_pack,
         q_offset=q_offset,
         window=window,
         attn_softcap=float(softcap),
@@ -418,6 +457,25 @@ def calc_self_attn_flop(seq_len: int, d_head: int, n_heads: int, batch: int) -> 
     so TFLOPs numbers are comparable across frameworks.
     """
     return batch * n_heads * (4 * seq_len * seq_len * d_head + 6 * seq_len * seq_len)
+
+
+def calc_causal_attn_flop(seq_len: int, d_head: int, n_heads: int, batch: int,
+                          window: int = 0) -> int:
+    """Causal attention FLOPs: only visible (q, kv) pairs count.
+
+    Same per-pair cost as :func:`calc_self_attn_flop` (4*d + 6), but summed
+    over the visible region: ``s*(s+1)/2`` pairs for plain causal, and
+    ``w*s - w*(w-1)/2`` with a sliding window of width ``w`` (each row sees
+    ``min(row+1, w)`` columns). The reference is non-causal only, so this has
+    no counterpart there; the per-pair model matches so percentages stay
+    comparable.
+    """
+    s = seq_len
+    if window and window < s:
+        pairs = window * s - window * (window - 1) // 2
+    else:
+        pairs = s * (s + 1) // 2
+    return batch * n_heads * (4 * d_head + 6) * pairs
 
 
 def calc_tile_softmax_flop(cfg: KernelConfig) -> int:
@@ -485,10 +543,18 @@ def should_autotune_config(cfg: KernelConfig) -> bool:
 
 
 def get_autotuning_kernel_configs(
-    dtypes: Sequence[DType] = (DType.BF16, DType.FP16),
+    dtypes: Sequence[DType] = (DType.BF16,),
     d_head: int = 128,
 ) -> list[KernelConfig]:
-    """Cartesian config sweep, pruned (analogue of kernel_configs.py:389-423)."""
+    """Cartesian config sweep, pruned (analogue of kernel_configs.py:389-423).
+
+    Default dtype set is bf16-only: unlike sm_80 (where the reference builds
+    fp16 and bf16 as equal citizens, ``flash_kernels.cuh:14-186``), the TPU
+    v5e MXU has no fp16 mode — fp16 inputs get upconverted, so autotuning it
+    doubles the sweep for numbers that merely shadow bf16 (measured platform
+    fact, BASELINE.md). Pass ``dtypes=(DType.FP16,)`` explicitly to sweep it
+    anyway (it runs fine, via upconvert, and stays interpret-testable).
+    """
     out: list[KernelConfig] = []
     for dtype, bq, bkv, rev in itertools.product(
         dtypes, (128, 256, 512, 1024),
@@ -556,7 +622,7 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
     return ladder
 
 
-def get_kernels_to_build(dtypes: Sequence[DType] = (DType.BF16, DType.FP16)) -> list[KernelConfig]:
+def get_kernels_to_build(dtypes: Sequence[DType] = (DType.BF16,)) -> list[KernelConfig]:
     """Everything the test suite parameterizes over (ref kernel_configs.py:457-462)."""
     seen: dict[KernelConfig, None] = {}
     for dt in dtypes:
@@ -574,6 +640,10 @@ def get_kernel_configs(kind: str | None = None) -> list[KernelConfig]:
     explicit ``"<block_q>,<block_kv>"`` pair.
     """
     kind = kind or os.environ.get("KERNELS", "prog")
+    if "fa_" in kind:
+        # Explicit short-form config(s), ';'-separated — lets any tool be
+        # pointed at exactly the kernels a profile row names.
+        return [parse_short_form(s) for s in kind.split(";") if s.strip()]
     if kind == "prog":
         return [cfg for _, cfg in get_kernel_progression_configs()]
     if kind == "all":

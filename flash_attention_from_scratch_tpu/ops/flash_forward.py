@@ -295,74 +295,82 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
                 visible, kv_start + cfg.block_kv - 1 >= q_span - cfg.window + 1)
 
     def compute():
-        q_full = q_ref[0, 0]
-        if cfg.scale_q:
-            # Fold the softmax scale into Q (d_head cols) instead of the S
-            # tile (block_kv cols): ~d/block_kv of the VPU pass cost.
-            c = (scale * LOG2E) if cfg.use_exp2 else scale
-            q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        # head_pack: the block carries `head_pack` whole heads; each runs
+        # its own QK^T -> softmax -> PV chain against its own KV tile and
+        # scratch rows. The chains are fully independent, so Mosaic overlaps
+        # head g's VPU exp pass with head g+1's MXU matmul — and the
+        # per-grid-step fixed cost amortizes over head_pack times the work.
+        # This is the small-sequence lever: at seq <= 1024 one program's
+        # whole attention is a single (q, kv) shot whose serial
+        # QK->exp->PV chain leaves the MXU idle half the time (measured
+        # 101 -> 150+ TFLOP/s at seq 512 on v5e).
+        for g in range(cfg.head_pack):
+            q_full = q_ref[0, g]
+            if cfg.scale_q:
+                # Fold the softmax scale into Q (d_head cols) instead of the
+                # S tile (block_kv cols): ~d/block_kv of the VPU pass cost.
+                c = (scale * LOG2E) if cfg.use_exp2 else scale
+                q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
+            k = k_ref[0, g]
+            v = v_ref[0, g]
+            base = g * cfg.block_q
 
-        # q_splits: independent row sub-tiles within the Q block. Each runs
-        # its own QK^T -> softmax -> PV chain against its own scratch rows,
-        # so Mosaic overlaps sub-tile i's VPU exp pass with sub-tile i+1's
-        # MXU matmul — like kv_splits, but along rows there is no merge
-        # cost at all (row statistics never cross sub-tiles). This is the
-        # small-sequence lever: at seq 512 the whole block is one KV shot
-        # and kv_splits has nothing big enough to cut.
-        sub = cfg.block_q // cfg.q_splits
-        for i in range(cfg.q_splits):
-            rows = slice(i * sub, (i + 1) * sub)
-            q = q_full[rows]
-            sub_span = q_span + i * sub
+            # q_splits: independent row sub-tiles within the Q block — same
+            # overlap idea as head_pack, along rows; no merge cost either
+            # (row statistics never cross sub-tiles). GRID kernel only.
+            sub = cfg.block_q // cfg.q_splits
+            for i in range(cfg.q_splits):
+                rows = slice(base + i * sub, base + (i + 1) * sub)
+                q = q_full[i * sub:(i + 1) * sub]
+                sub_span = q_span + i * sub
 
-            if cfg.kv_splits > 1:
-                def attend(m, l, acc, q=q, sub_span=sub_span):
-                    return _attend_block_split(
-                        cfg, scale, q, k, v, sub_span, kv_start, m, l, acc
+                if cfg.kv_splits > 1:
+                    def attend(m, l, acc, q=q, v=v, k=k, sub_span=sub_span):
+                        return _attend_block_split(
+                            cfg, scale, q, k, v, sub_span, kv_start, m, l, acc
+                        )
+                else:
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_mm_precision(cfg),
                     )
-            else:
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_mm_precision(cfg),
-                )
 
-                def attend(m, l, acc, s=s, sub_span=sub_span):
-                    return _attend_block(
-                        cfg, scale, s, v, sub_span, kv_start, m, l, acc
-                    )
+                    def attend(m, l, acc, s=s, v=v, sub_span=sub_span):
+                        return _attend_block(
+                            cfg, scale, s, v, sub_span, kv_start, m, l, acc
+                        )
 
-            if cfg.optimized_softmax:
-                @pl.when(is_first)
-                def _(attend=attend, rows=rows):
-                    m, l, acc = attend(None, None, None)
-                    m_ref[rows, :] = m
-                    l_ref[rows, :] = l
-                    acc_ref[rows, :] = acc
+                if cfg.optimized_softmax:
+                    @pl.when(is_first)
+                    def _(attend=attend, rows=rows):
+                        m, l, acc = attend(None, None, None)
+                        m_ref[rows, :] = m
+                        l_ref[rows, :] = l
+                        acc_ref[rows, :] = acc
 
-                @pl.when(jnp.logical_not(is_first))
-                def _(attend=attend, rows=rows):
+                    @pl.when(jnp.logical_not(is_first))
+                    def _(attend=attend, rows=rows):
+                        m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                           acc_ref[rows, :])
+                        m_ref[rows, :] = m
+                        l_ref[rows, :] = l
+                        acc_ref[rows, :] = acc
+                else:
+                    @pl.when(is_first)
+                    def _(rows=rows):
+                        m_ref[rows, :] = jnp.full((sub, _STATS_LANES),
+                                                  MASK_VALUE, jnp.float32)
+                        l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES),
+                                                   jnp.float32)
+                        acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
+                                                     jnp.float32)
+
                     m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
                                        acc_ref[rows, :])
                     m_ref[rows, :] = m
                     l_ref[rows, :] = l
                     acc_ref[rows, :] = acc
-            else:
-                @pl.when(is_first)
-                def _(rows=rows):
-                    m_ref[rows, :] = jnp.full((sub, _STATS_LANES), MASK_VALUE,
-                                              jnp.float32)
-                    l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES), jnp.float32)
-                    acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
-                                                 jnp.float32)
-
-                m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
-                                   acc_ref[rows, :])
-                m_ref[rows, :] = m
-                l_ref[rows, :] = l
-                acc_ref[rows, :] = acc
 
     if cfg.causal:
         if cfg.window:
@@ -388,26 +396,30 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
     @pl.when(is_last)
     def _():
         # Final normalization (ref softmax.cuh:107-128) + downcast + store.
-        if sinks_ref is not None:
-            acc_s, l_tot = _sink_merge(cfg, sinks_ref[pl.program_id(1)],
-                                       m_ref[:, :1], l_ref[:, :1],
-                                       acc_ref[...])
-            o_ref[0, 0] = (acc_s / l_tot).astype(o_ref.dtype)
-        else:
-            o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
-        if lse_ref is not None:
-            # Natural-log row log-sum-exp of the *scaled* scores — the
-            # backward pass residual. Running stats live in log2 domain when
-            # use_exp2; one ln(2) multiply converts.
-            m_col = m_ref[:, :1]
-            l_col = l_ref[:, :1]
-            if cfg.use_exp2:
-                lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
+        for g in range(cfg.head_pack):
+            rows = slice(g * cfg.block_q, (g + 1) * cfg.block_q)
+            if sinks_ref is not None:
+                h = pl.program_id(1) * cfg.head_pack + g
+                acc_s, l_tot = _sink_merge(cfg, sinks_ref[h],
+                                           m_ref[rows, :1], l_ref[rows, :1],
+                                           acc_ref[rows, :])
+                o_ref[0, g] = (acc_s / l_tot).astype(o_ref.dtype)
             else:
-                lse = m_col + jnp.log(l_col)
-            # Stored (block_q, 1): the sublane-major column layout the stats
-            # already live in — no relayout on write.
-            lse_ref[0, 0] = lse
+                o_ref[0, g] = (acc_ref[rows, :]
+                               / l_ref[rows, :1]).astype(o_ref.dtype)
+            if lse_ref is not None:
+                # Natural-log row log-sum-exp of the *scaled* scores — the
+                # backward pass residual. Running stats live in log2 domain
+                # when use_exp2; one ln(2) multiply converts.
+                m_col = m_ref[rows, :1]
+                l_col = l_ref[rows, :1]
+                if cfg.use_exp2:
+                    lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
+                else:
+                    lse = m_col + jnp.log(l_col)
+                # Stored (block_q, 1): the sublane-major column layout the
+                # stats already live in — no relayout on write.
+                lse_ref[0, g] = lse
 
 
 def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
@@ -417,38 +429,46 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
+    hp = cfg.head_pack
     # GQA: Q head h reads KV head h // group directly from HBM — no
     # materialized jnp.repeat of K/V (a pure index-map change on TPU).
     group = heads // (kv_heads or heads)
+    if hp > 1:
+        if group > 1:
+            raise NotImplementedError(
+                "head_pack > 1 with GQA: packed KV blocks would need a "
+                "head-strided index map; use head_pack=1 for GQA shapes")
+        if heads % hp:
+            raise ValueError(f"head_pack {hp} must divide heads {heads}")
 
     def kv_index(b, h, qi, ki):
         blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
         return (b, h // group if group > 1 else h, blk, 0)
 
-    grid = (batch, heads, num_q, num_kv)
+    grid = (batch, heads // hp, num_q, num_kv)
     kernel = (functools.partial(_grid_kernel_sinks, cfg, scale, num_kv)
               if has_sinks else
               functools.partial(_grid_kernel, cfg, scale, num_kv))
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
-    out_specs = pl.BlockSpec((1, 1, cfg.block_q, d),
+    out_specs = pl.BlockSpec((1, hp, cfg.block_q, d),
                              lambda b, h, qi, ki: (b, h, qi, 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
     if return_lse:
         kernel = functools.partial(_grid_kernel_with_lse, cfg, scale, num_kv)
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1, cfg.block_q, 1),
+                     pl.BlockSpec((1, hp, cfg.block_q, 1),
                                   lambda b, h, qi, ki: (b, h, qi, 0),
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((batch, heads, seq_q, 1), jnp.float32))
 
     in_specs = [
-        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
+        pl.BlockSpec((1, hp, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hp, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hp, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
     ]
     if has_sinks:
         # Per-Q-head sink logits, (heads,) fp32 — scalars, so SMEM.
@@ -461,9 +481,9 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((cfg.block_q, d), jnp.float32),            # O accumulator
-            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),  # running max m
-            pltpu.VMEM((cfg.block_q, _STATS_LANES), jnp.float32),  # running sum l
+            pltpu.VMEM((hp * cfg.block_q, d), jnp.float32),  # O accumulator
+            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),  # max m
+            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),  # sum l
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -728,6 +748,7 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
         cfg = KernelConfig.for_shape(
             q.shape[2], k.shape[2],
             dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
+            heads=q.shape[1], kv_heads=k.shape[1],
         )
     _validate(cfg, q, k, v)
     if sinks is not None and sinks.shape != (q.shape[1],):
@@ -771,6 +792,7 @@ def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
         cfg = KernelConfig.for_shape(
             q.shape[2], k.shape[2],
             dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
+            heads=q.shape[1], kv_heads=k.shape[1],
         )
     _validate(cfg, q, k, v)
     if scale is None:

@@ -333,6 +333,54 @@ def test_q_splits_validation():
     assert parse_short_form(cfg.short_form()) == cfg
 
 
+# -- whole-head packing (head_pack) ------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_head_pack(causal):
+    """Multiple heads per grid program: independent chains, same numerics."""
+    cfg = KernelConfig(block_q=128, block_kv=128, head_pack=2, causal=causal)
+    q, k, v = generate_qkv(256, n_heads=4, batch=2, dtype=jnp.bfloat16)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"head_pack causal={causal}: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_head_pack_with_q_splits_lse():
+    """head_pack x q_splits, and the LSE residual stays pack-invariant."""
+    from flash_attention_from_scratch_tpu.ops.flash_forward import (
+        flash_forward_with_lse,
+    )
+
+    q, k, v = generate_qkv(512, n_heads=4, batch=1, dtype=jnp.bfloat16)
+    packed = KernelConfig(block_q=128, block_kv=256, head_pack=4, q_splits=2)
+    plain = KernelConfig(block_q=128, block_kv=256)
+    out_p, lse_p = flash_forward_with_lse(q, k, v, packed)
+    out_0, lse_0 = flash_forward_with_lse(q, k, v, plain)
+    assert float(jnp.max(jnp.abs(lse_p - lse_0))) < 1e-3
+    assert float(jnp.max(jnp.abs(out_p.astype(jnp.float32)
+                                 - out_0.astype(jnp.float32)))) < 1e-2
+
+
+def test_head_pack_validation():
+    with pytest.raises(ValueError, match="GRID"):
+        KernelConfig(head_pack=2, kv_loop=KVLoop.FORI)
+    cfg = KernelConfig(block_q=128, block_kv=128, head_pack=2)
+    from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
+    assert "hp2" in cfg.short_form()
+    assert parse_short_form(cfg.short_form()) == cfg
+    # heads not divisible by head_pack
+    q, k, v = generate_qkv(256, n_heads=3, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="head_pack"):
+        flash_forward(q, k, v, cfg)
+    # GQA rejected
+    q4, _, _ = generate_qkv(256, n_heads=4, batch=1, dtype=jnp.bfloat16)
+    _, k2, v2 = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    with pytest.raises(NotImplementedError, match="GQA"):
+        flash_forward(q4, k2, v2, cfg)
+
+
 @pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
 @pytest.mark.parametrize("scale_q", [True, False])
 def test_attn_softcap(kv_loop, scale_q):
