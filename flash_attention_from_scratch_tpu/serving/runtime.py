@@ -19,7 +19,9 @@ import numpy as np
 
 __all__ = ["PagedEngine", "Batch"]
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+# Native source ships inside the package so `pip install` works; the .so is
+# still built on demand and cached by source hash.
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "csrc")
 
 
 def _build_library() -> str:
