@@ -5,10 +5,21 @@ Port of the capabilities of ``tools/benchmark/pt_bench.py`` and
 TFLOP/s with the reference's FLOP model, percent-of-baseline columns, and the
 harmonic-mean summary the reference's README table uses (``README.md:38-62``).
 On TPU the baseline is the chip's MXU: both nominal SoL and a measured matmul
-ceiling (the role official FA2 played for the reference). Hermetic-timing
-notes: no clock locking exists on TPU; fencing is by host readback
-(see ``dispatch.median_runtime``), and each sample amortizes several
-dispatches to undo tunnel latency.
+ceiling (the role official FA2 played for the reference).
+
+Timing is pure-device by default: N chained kernel calls run under one
+``lax.scan`` inside a single jit (``dispatch.scan_runtime``), so per-call
+host/tunnel dispatch cost — which dwarfs a sub-millisecond seq-512 kernel
+through the axon relay — cancels out of the slope. This is the measurement
+role NCU kernel Duration played for the reference (``ncu_bench.py:31-56``).
+``--host-timing`` falls back to fenced host timing (``median_runtime``).
+
+``--causal`` benches the causal kernels with causal FLOP accounting (only
+visible pairs count), optionally with ``--window``/GQA ``--kv-heads`` — the
+shapes the model family actually runs. The ``GB/s`` column is model-based
+achieved HBM bandwidth (bytes the kernel's DMA pattern moves / time): for
+causal FORI only visited KV blocks count, for GRID every block is fetched
+(predicated compute) — making the GRID-vs-FORI DMA-waste tradeoff visible.
 
 Usage:
     python -m flash_attention_from_scratch_tpu.tools.bench_attention \
@@ -19,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import csv as csv_mod
+import dataclasses
 import json
 import os
 import statistics
@@ -27,8 +39,15 @@ import sys
 
 import jax
 
-from ..dispatch import median_runtime
-from ..ops.configs import DType, calc_self_attn_flop, get_kernel_configs
+from ..dispatch import median_runtime, scan_runtime
+from ..ops.configs import (
+    DType,
+    KernelConfig,
+    KVLoop,
+    calc_causal_attn_flop,
+    calc_self_attn_flop,
+    get_kernel_configs,
+)
 from ..ops.flash_forward import flash_forward
 from ..utils.chip import chip_sol_tflops, device_kind, measured_matmul_tflops
 from ..utils.testing import BATCH_SIZE_FOR_SEQ_LEN, generate_qkv
@@ -47,30 +66,86 @@ def _git_commit() -> str:
         return "unknown"
 
 
-def bench(configs, seq_lens, heads: int = 16, iters: int = 7, log=print):
-    """Returns {config_short_form: {seq_len: tflops}} plus harmonic means."""
-    results: dict[str, dict[int, float]] = {}
+def _kv_blocks_visited(cfg: KernelConfig, seq_q: int, seq_kv: int) -> int:
+    """KV blocks the kernel actually DMAs, mirroring the kernel's own logic.
+
+    GRID fetches every block (above-diagonal blocks are predicated but still
+    pipelined in); FORI's causal walk visits only [first_block, last_excl)
+    per Q block (``flash_forward._fori_kernel``).
+    """
+    num_q = seq_q // cfg.block_q
+    num_kv = seq_kv // cfg.block_kv
+    if not (cfg.causal and cfg.kv_loop == KVLoop.FORI):
+        return num_q * num_kv
+    total = 0
+    for qi in range(num_q):
+        span = qi * cfg.block_q + cfg.q_offset
+        last_excl = min(
+            (span + cfg.block_q + cfg.block_kv - 1) // cfg.block_kv, num_kv)
+        first = (max(span - cfg.window + 1, 0) // cfg.block_kv
+                 if cfg.window else 0)
+        total += max(last_excl - first, 0)
+    return total
+
+
+def _hbm_bytes(cfg: KernelConfig, batch: int, heads: int, kv_heads: int,
+               seq_q: int, seq_kv: int) -> int:
+    """Model of HBM bytes one call moves: Q+O once, K/V per visited block."""
+    b = cfg.dtype.bytes
+    qo = batch * heads * seq_q * cfg.d_head * (b + cfg.resolved_out_dtype.bytes)
+    visited = _kv_blocks_visited(cfg, seq_q, seq_kv)
+    kv = batch * kv_heads * 2 * visited * cfg.block_kv * cfg.d_head * b
+    return qo + kv
+
+
+def _flops(cfg: KernelConfig, seq: int, heads: int, batch: int) -> int:
+    if cfg.causal:
+        return calc_causal_attn_flop(seq, cfg.d_head, heads, batch,
+                                     window=cfg.window)
+    return calc_self_attn_flop(seq, cfg.d_head, heads, batch)
+
+
+def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
+          iters: int = 5, in_jit: bool = True, log=print):
+    """Returns {config_short_form: {seq_len: row_dict}}."""
+    results: dict[str, dict[int, dict]] = {}
     for seq in seq_lens:
         batch = BATCH_SIZE_FOR_SEQ_LEN.get(seq, 4)
         by_key = {}
         for cfg in configs:
             if seq % cfg.block_q or seq % cfg.block_kv:
                 continue
-            key = (cfg.dtype, cfg.d_head)
+            if cfg.window and cfg.window >= seq:
+                continue  # window >= seq degenerates to plain causal
+            kvh = kv_heads or heads
+            key = (cfg.dtype, cfg.d_head, kvh)
             if key not in by_key:
-                by_key[key] = generate_qkv(
-                    seq, d_head=cfg.d_head, n_heads=heads, batch=batch,
-                    dtype=cfg.dtype.jnp_dtype,
-                )
+                q, _, _ = generate_qkv(seq, d_head=cfg.d_head, n_heads=heads,
+                                       batch=batch, dtype=cfg.dtype.jnp_dtype)
+                _, k, v = generate_qkv(seq, d_head=cfg.d_head, n_heads=kvh,
+                                       batch=batch, dtype=cfg.dtype.jnp_dtype)
+                by_key[key] = (q, k, v)
             q, k, v = by_key[key]
-            secs = median_runtime(
-                lambda: flash_forward(q, k, v, cfg), warmup=2, iters=iters,
-                chain_fn=lambda prev, cfg=cfg: flash_forward(prev, k, v, cfg),
-            )
-            tflops = calc_self_attn_flop(seq, cfg.d_head, heads, batch) / secs / 1e12
-            results.setdefault(cfg.short_form(), {})[seq] = tflops
-            log(f"  seq {seq:>6} {cfg.short_form():<44} {secs*1e3:9.3f} ms "
-                f"{tflops:7.2f} TFLOP/s")
+            flops = _flops(cfg, seq, heads, batch)
+            est = flops / 120e12  # sizing guess only: ~120 TFLOP/s
+            if in_jit:
+                secs = scan_runtime(
+                    lambda x, k, v, cfg=cfg: flash_forward(x, k, v, cfg),
+                    q, k, v, iters=iters, est_secs=est,
+                )
+            else:
+                secs = median_runtime(
+                    lambda cfg=cfg: flash_forward(q, k, v, cfg),
+                    warmup=2, iters=iters,
+                    chain_fn=lambda prev, cfg=cfg: flash_forward(prev, k, v, cfg),
+                )
+            tflops = flops / secs / 1e12
+            gbps = _hbm_bytes(cfg, batch, heads, kvh, seq, seq) / secs / 1e9
+            results.setdefault(cfg.short_form(), {})[seq] = {
+                "tflops": tflops, "ms": secs * 1e3, "gbps": gbps,
+            }
+            log(f"  seq {seq:>6} {cfg.short_form():<48} {secs*1e3:9.3f} ms "
+                f"{tflops:7.2f} TFLOP/s {gbps:7.1f} GB/s")
     return results
 
 
@@ -81,11 +156,22 @@ def harmonic_mean(vals):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--kernels", default="prog")
+    ap.add_argument("--kernels", default="prog",
+                    help="prog | all | tune | '<bq>,<bkv>' | 'fa_...;fa_...'")
     ap.add_argument("--seq-lens", default="512,1024,2048,4096")
     ap.add_argument("--heads", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--kv-heads", type=int, default=None,
+                    help="GQA KV heads (default = --heads)")
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--causal", action="store_true",
+                    help="bench causal kernels with causal FLOP accounting")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding window (implies --causal)")
+    ap.add_argument("--fori", action="store_true",
+                    help="force the FORI kv loop on every config")
+    ap.add_argument("--host-timing", action="store_true",
+                    help="fenced host timing instead of in-jit lax.scan chain")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--json", action="store_true", help="emit one JSON line per kernel")
     args = ap.parse_args(argv)
@@ -96,27 +182,50 @@ def main(argv=None):
     dtype = DType.from_short(args.dtype)
     seq_lens = [int(s) for s in args.seq_lens.split(",")]
     configs = [c for c in get_kernel_configs(args.kernels) if c.dtype == dtype]
+    if args.causal or args.window:
+        patched = []
+        for c in configs:
+            kw = dict(causal=True, window=args.window, reverse_kv=False)
+            if args.window:
+                kw["optimized_softmax"] = False
+            patched.append(dataclasses.replace(c, **kw))
+        configs = patched
+    if args.fori:
+        configs = [dataclasses.replace(c, kv_loop=KVLoop.FORI, q_splits=1)
+                   for c in configs]
+    # dataclasses.replace can produce duplicates; keep first occurrence.
+    configs = list(dict.fromkeys(configs))
 
     sol = chip_sol_tflops()
-    print(f"device={device_kind()} commit={_git_commit()} nominal SoL={sol}")
-    results = bench(configs, seq_lens, heads=args.heads, iters=args.iters)
+    print(f"device={device_kind()} commit={_git_commit()} nominal SoL={sol} "
+          f"timing={'host' if args.host_timing else 'in-jit scan'}")
+    results = bench(configs, seq_lens, heads=args.heads, kv_heads=args.kv_heads,
+                    iters=args.iters, in_jit=not args.host_timing)
     mm = measured_matmul_tflops()
 
-    header = f"{'config':<44}" + "".join(f"{s:>9}" for s in seq_lens) + \
+    header = f"{'config':<48}" + "".join(f"{s:>9}" for s in seq_lens) + \
              f"{'harm.':>9}{'%SoL':>7}{'%mm':>7}"
     print(f"\nmeasured matmul ceiling: {mm:.1f} TFLOP/s\n{header}")
     rows = []
     for name, per_seq in results.items():
-        hm = harmonic_mean(list(per_seq.values()))
+        hm = harmonic_mean([r["tflops"] for r in per_seq.values()])
         partial = len(per_seq) < len(seq_lens)
-        line = f"{name:<44}" + "".join(
-            f"{per_seq.get(s, float('nan')):>9.1f}" for s in seq_lens
-        ) + f"{hm:>9.1f}{100*hm/sol:>7.1f}{100*hm/mm:>7.1f}" +             ("  (partial: skipped non-tileable seqs)" if partial else "")
+        line = f"{name:<48}" + "".join(
+            f"{per_seq[s]['tflops']:>9.1f}" if s in per_seq else f"{'—':>9}"
+            for s in seq_lens
+        ) + f"{hm:>9.1f}{100*hm/sol:>7.1f}{100*hm/mm:>7.1f}" + \
+            ("  (partial: skipped non-tileable seqs)" if partial else "")
         print(line)
-        row = {"config": name, **{f"seq{s}": round(per_seq.get(s, 0), 2) for s in seq_lens},
+        row = {"config": name,
+               **{f"seq{s}": round(per_seq[s]["tflops"], 2) if s in per_seq else 0
+                  for s in seq_lens},
+               **{f"gbps{s}": round(per_seq[s]["gbps"], 1) if s in per_seq else 0
+                  for s in seq_lens},
                "harmonic_mean": round(hm, 2), "pct_sol": round(100 * hm / sol, 2),
                "pct_matmul": round(100 * hm / mm, 2),
-               "n_seqs": len(per_seq), "commit": _git_commit()}
+               "n_seqs": len(per_seq),
+               "timing": "host" if args.host_timing else "scan",
+               "commit": _git_commit()}
         rows.append(row)
         if args.json:
             print(json.dumps(row))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import collections
+import glob
 import os
 import re
 import sys
@@ -34,12 +35,12 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from ..ops.configs import DType, get_kernel_configs
+from ..ops.configs import DType, get_kernel_configs, parse_short_form
 from ..ops.flash_forward import make_flash_forward
 from ..utils.testing import generate_qkv
 
 __all__ = ["lower_kernel", "op_histogram", "diff_histograms", "slice_ir",
-           "main"]
+           "check_regression", "main"]
 
 _MOSAIC_RE = re.compile(r'custom_call_config\s*=?\s*.*?"', re.S)
 
@@ -205,6 +206,57 @@ def slice_ir(ir_text: str, value: str, *, forward: bool = False,
     return "\n".join(out)
 
 
+def check_regression(ir_dir: str = "kernel_ir", seq: int = 2048,
+                     total_growth: float = 0.05, op_growth: float = 0.25,
+                     op_slack: int = 8, log=print) -> list[str]:
+    """Op-count regression gate against the committed Mosaic dumps.
+
+    Automated analogue of the reference's register-pressure regression tool
+    (``tools/build/parse_ptx_build.py:31-141``): re-lowers every kernel that
+    has a committed ``<short_form>.mosaic.mlir`` (at the dump shape,
+    seq 2048 x 4 heads) and compares op histograms. A kernel FAILS when its
+    total Mosaic op count grew more than ``total_growth`` (5%), or any
+    single op mnemonic grew by more than ``max(op_slack, op_growth * old)``
+    — slack absorbs compiler-version noise; real codegen regressions (an
+    accidental relayout, a loop that stopped unrolling) blow well past it.
+    Returns the list of failure messages (empty = green). Shrinkage is
+    always fine — re-dump to ratchet the baseline down.
+    """
+    failures = []
+    paths = sorted(glob.glob(os.path.join(ir_dir, "*.mosaic.mlir")))
+    if not paths:
+        return [f"no committed *.mosaic.mlir under {ir_dir}"]
+    for path in paths:
+        name = os.path.basename(path)[: -len(".mosaic.mlir")]
+        try:
+            cfg = parse_short_form(name)
+        except ValueError:
+            log(f"  {name}: unparseable name, skipping")
+            continue
+        if seq % cfg.block_q or seq % cfg.block_kv:
+            continue
+        committed = op_histogram(open(path).read())
+        q, k, v = generate_qkv(seq, d_head=cfg.d_head, n_heads=4, batch=1,
+                               dtype=cfg.dtype.jnp_dtype)
+        fresh = op_histogram(extract_mosaic_module(cfg, q, k, v))
+        t_old, t_new = sum(committed.values()), sum(fresh.values())
+        msgs = []
+        if t_new > t_old * (1 + total_growth):
+            msgs.append(f"total ops {t_old} -> {t_new} "
+                        f"(+{100 * (t_new - t_old) / t_old:.1f}%)")
+        for op, n_new in fresh.items():
+            n_old = committed.get(op, 0)
+            if n_new > n_old + max(op_slack, op_growth * n_old):
+                msgs.append(f"{op} {n_old} -> {n_new}")
+        if msgs:
+            failures.append(f"{name}: " + "; ".join(msgs))
+            log(f"  {name}: REGRESSED ({'; '.join(msgs)})")
+            log(diff_histograms(committed, fresh))
+        else:
+            log(f"  {name}: ok ({t_old} -> {t_new} ops)")
+    return failures
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kernels", default="prog")
@@ -220,7 +272,20 @@ def main(argv=None):
                     help="slice consumers instead of producers")
     ap.add_argument("--depth", type=int, default=None,
                     help="max def-use hops for --slice")
+    ap.add_argument("--check", action="store_true",
+                    help="regression gate: re-lower committed kernels and "
+                         "fail on op-count growth (parse_ptx_build role)")
     args = ap.parse_args(argv)
+
+    if args.check:
+        failures = check_regression(args.out, seq=args.seq)
+        if failures:
+            print(f"\n{len(failures)} kernel(s) regressed:")
+            for f in failures:
+                print(f"  {f}")
+            return 1
+        print("\nall committed kernels within op-count budget")
+        return 0
 
     if args.diff:
         before = op_histogram(open(args.diff[0]).read())

@@ -1,10 +1,13 @@
 """Test configuration.
 
-Numerics tests run on the real TPU when one is attached (honoring the
-environment's ``JAX_PLATFORMS``); the CPU platform is always added as a
-secondary backend with 8 virtual devices so multi-chip sharding tests can
-build an 8-device mesh on any machine. On CPU-only machines everything runs
-in Pallas interpret mode. This must execute before the first ``import jax``.
+By default the suite runs on CPU (Pallas interpret mode) with 8 virtual
+devices so multi-chip sharding tests can build an 8-device mesh on any
+machine — deterministic, hermetic, and independent of a flaky TPU tunnel.
+Set ``JAX_PLATFORMS=tpu,cpu`` to run compiled kernels on an attached TPU;
+tests marked ``@pytest.mark.onchip`` (compiled numerics over the full build
+set, hardware-only behaviors) run ONLY in that mode and are skipped on CPU.
+The CPU platform is always appended so the virtual 8-device mesh exists in
+both modes. This must execute before the first ``import jax``.
 """
 
 import os
@@ -31,6 +34,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
+
+
+def _tpu_attached() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def pytest_collection_modifyitems(config, items):
+    if _tpu_attached():
+        return
+    skip = pytest.mark.skip(
+        reason="needs a real TPU: run with JAX_PLATFORMS=tpu,cpu")
+    for item in items:
+        if "onchip" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
