@@ -584,15 +584,25 @@ def _make_qmm_partitioned(mode: str, act_quant: bool, block_m: int,
                     block_k=block_k, block_n=block_n, n_inner=False,
                     interpret=interp, out_dtype_name=out_dtype_name)
 
+    def impl_interpret():
+        # Unpartitioned lowering of the custom_partitioning op (eager, or
+        # spmd_partition_mode without going through @spmd_safe): partition()
+        # never runs, so honor the caller's mesh-resolved override before
+        # falling back to the process default backend — which is the
+        # documented-wrong answer on a TPU-attached box driving a
+        # virtual-CPU mesh.
+        i = interpret if interpret is not None else _INTERPRET_OVERRIDE.get()
+        return mesh_interpret(None, i)
+
     if act_quant:
         def impl(x_q, xs, values, scales2):
             return _qmm_local((x_q, xs), values, scales2,
-                              **kw(mesh_interpret(None, interpret)))
+                              **kw(impl_interpret()))
         w_idx = 2
     else:
         def impl(x2, values, scales2):
             return _qmm_local(x2, values, scales2,
-                              **kw(mesh_interpret(None, interpret)))
+                              **kw(impl_interpret()))
         w_idx = 1
 
     fn = custom_partitioning(impl)

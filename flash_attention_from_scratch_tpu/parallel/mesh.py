@@ -39,6 +39,19 @@ def mesh_interpret(mesh, interpret=None) -> bool:
         # get_abstract_mesh flows) has no .devices — fall through to the
         # process default backend for those.
         return devices.flat[0].platform == "cpu"
+    if mesh is not None:
+        # AbstractMesh can't say where it will run; the process default
+        # backend is a guess (and the wrong one for a virtual-CPU
+        # AbstractMesh on a TPU-attached box). Warn so the silent fallback
+        # is diagnosable; pass interpret= explicitly to silence.
+        import warnings
+
+        warnings.warn(
+            "mesh_interpret: mesh has no .devices (AbstractMesh?); "
+            "resolving interpret from the process default backend "
+            f"({jax.default_backend()!r}) — pass interpret= explicitly "
+            "if that is wrong for this mesh",
+            stacklevel=2)
     return jax.default_backend() == "cpu"
 
 
