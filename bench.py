@@ -50,7 +50,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import flash_attention_from_scratch_tpu as fa
-from flash_attention_from_scratch_tpu.dispatch import scan_runtime
+from flash_attention_from_scratch_tpu.dispatch import chain_runtime
 from flash_attention_from_scratch_tpu.utils.chip import chip_sol_tflops, device_kind
 from flash_attention_from_scratch_tpu.utils.testing import (
     BATCH_SIZE_FOR_SEQ_LEN,
@@ -70,7 +70,7 @@ def jax_builtin_flash_tflops(q, k, v, flops: float) -> float:
     bs = BlockSizes(block_q=512, block_k_major=1024, block_k=1024, block_b=1)
     fn = jax.jit(lambda q, k, v: flash_attention(
         q, k, v, causal=False, sm_scale=sm, block_sizes=bs))
-    secs = scan_runtime(lambda x, k, v: fn(x, k, v), q, k, v, iters=5,
+    secs = chain_runtime(lambda x, k, v: fn(x, k, v), q, k, v, iters=5,
                         est_secs=flops / 150e12)
     return flops / secs / 1e12
 
@@ -80,15 +80,17 @@ def main():
     batch = BATCH_SIZE_FOR_SEQ_LEN[seq]
     q, k, v = generate_qkv(seq, d_head=d_head, n_heads=heads, batch=batch,
                            dtype=jnp.bfloat16)
-    cfg = fa.KernelConfig.for_shape(seq, seq)
+    cfg = fa.KernelConfig.for_shape(seq, seq, heads=heads, kv_heads=heads)
     flops = fa.calc_self_attn_flop(seq, d_head, heads, batch)
-    # In-jit lax.scan chain (each step's output feeds the next step's Q,
+    # In-jit unrolled chain (each step's output feeds the next step's Q,
     # all inside ONE dispatch), timed at two chain lengths with the slope
     # taken: pure device seconds, immune to the relay's identical-dispatch
     # artifact AND to any host-side enqueue costs. Host-fenced value-chained
     # timing (the previous method) was observed to over-report ~40% at some
-    # shapes even with chaining.
-    secs = scan_runtime(lambda x, k, v: fa.forward(x, k, v, cfg), q, k, v,
+    # shapes even with chaining; a lax.scan chain pays a full carry copy
+    # per step (~5% at this shape) because the kernel's custom call cannot
+    # alias its input.
+    secs = chain_runtime(lambda x, k, v: fa.forward(x, k, v, cfg), q, k, v,
                         iters=7, est_secs=flops / 150e12)
     tflops = flops / secs / 1e12
     baseline = jax_builtin_flash_tflops(q, k, v, flops)

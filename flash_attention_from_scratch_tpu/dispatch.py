@@ -17,7 +17,7 @@ import jax
 from .ops.configs import KernelConfig
 from .ops.flash_forward import flash_forward
 
-__all__ = ["forward_timed", "median_runtime", "scan_runtime", "sync"]
+__all__ = ["forward_timed", "median_runtime", "chain_runtime", "sync"]
 
 
 def sync(x):
@@ -80,20 +80,25 @@ def sync_overhead() -> float:
     return samples[len(samples) // 2]
 
 
-def scan_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
+def chain_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
                  est_secs: float | None = None) -> float:
     """Pure device seconds per ``step_fn`` call: N chained calls in ONE jit.
 
     ``step_fn(x, *args) -> y`` must preserve x's shape/dtype (self-attention
-    does: the output re-enters as the next Q). The chain runs under a single
-    ``lax.scan`` inside one jit, so per-dispatch host/tunnel cost is paid
-    once per *trial*, not once per call — the measurement the reference gets
-    from NCU kernel Duration (``ncu_bench.py:31-56``) and this repo's decode
-    bench gets from ``decode_loop``. Two chain lengths (N and 2N) are timed
-    and the slope taken, so even that single fixed dispatch+fence cost
-    cancels exactly; the scan's data dependence also defeats the
-    identical-dispatch relay artifact by construction (see
-    :func:`median_runtime`).
+    does: the output re-enters as the next Q). The chain is UNROLLED inside
+    one jit, so per-dispatch host/tunnel cost is paid once per *trial*, not
+    once per call — the measurement the reference gets from NCU kernel
+    Duration (``ncu_bench.py:31-56``) and this repo's decode bench gets from
+    ``decode_loop``. Two chain lengths (N and 2N) are timed and the slope
+    taken, so even that single fixed dispatch+fence cost cancels exactly;
+    the chain's data dependence also defeats the identical-dispatch relay
+    artifact by construction (see :func:`median_runtime`).
+
+    Unrolled, NOT ``lax.scan``: a while-loop carry round-trips through a
+    fixed buffer each iteration, and the kernel's custom call cannot alias
+    its input, so XLA inserts a full-carry copy per step — measured 0.72 ms
+    (5.6%) on a 268 MB carry at seq 4096 on v5e. The unrolled chain is pure
+    dataflow and times the kernel alone.
 
     Loop-invariant operands (K, V) must come through ``*args``, NOT a
     closure: closed-over arrays trace as jaxpr *constants* and ship inside
@@ -112,17 +117,17 @@ def scan_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
             t0 = time.perf_counter()
             sync(step_fn(x0, *args))
             est_secs = max(time.perf_counter() - t0 - sync_overhead(), 1e-5)
-        # Aim for ~100 ms per short trial: long enough to dwarf the fence,
-        # short enough that 2*iters trials stay interactive.
-        steps = int(min(max(0.1 / est_secs, 4), 512))
+        # Aim for ~50 ms per short trial: long enough to dwarf the fence,
+        # short enough that compile time (the chain is unrolled) and
+        # 2*iters trials stay manageable.
+        steps = int(min(max(0.05 / est_secs, 4), 128))
 
     def chained(n):
         @jax.jit
         def run(x, *a):
-            def body(x, _):
-                return step_fn(x, *a), None
-            y, _ = jax.lax.scan(body, x, None, length=n)
-            return y
+            for _ in range(n):
+                x = step_fn(x, *a)
+            return x
         return run
 
     f1, f2 = chained(steps), chained(2 * steps)

@@ -250,6 +250,22 @@ class KernelConfig:
     # fails to fit alongside the pipeline buffers.
     S_TILE_BUDGET_BYTES = 32 * 1024 * 1024
 
+    # Best-known knobs per whole-seq-KV bucket, measured on v5e with the
+    # in-jit chain timer (profiles/bench_sweep_r3.csv; 16 heads, the
+    # reference's per-seq batch table). Columns: upper seq_kv bound ->
+    # (preferred_q, kv_splits, q_splits, head_pack). The three overlap
+    # levers trade off by shape: head_pack dominates while VMEM allows
+    # whole extra heads, q_splits is nearly free everywhere, kv_splits
+    # takes over once the S tile is big enough to slice lane-aligned.
+    _SWEEP_TABLE = (
+        (512,   (512, 1, 2, 16)),   # 136.6 TFLOP/s
+        (1024,  (512, 1, 1, 8)),    # 181.8
+        (2048,  (1024, 1, 2, 4)),   # 185.8
+        (4096,  (512, 2, 2, 1)),    # 188.8
+        (8192,  (512, 4, 2, 2)),    # 188.9
+        (None,  (512, 8, 2, 1)),    # 190.0 at 16384
+    )
+
     @classmethod
     def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int | None = None,
                   preferred_kv: int | None = None, heads: int | None = None,
@@ -260,13 +276,12 @@ class KernelConfig:
         (the runtime analogue of the reference's seq %% B_r == 0 input check,
         ``flash_attention.cu:52-58`` — but auto-adapting instead of erroring).
         KV blocks default to the whole sequence when the S tile fits the
-        VMEM budget: one KV step per Q block means a single-shot softmax with
-        no running-max rescale (measured +15-17% at seq 8192/16384 on v5e).
-        When ``heads`` is given (and there is no GQA), short sequences pick
-        whole-head packing: one program's serial QK->exp->PV chain leaves
-        the MXU idle below ~2K KV, and 4-8 independent per-head chains in
-        one program overlap it away (+29% at seq 512 on v5e,
-        profiles/bench_sweep_r3.csv).
+        VMEM budget: one KV step per Q block means a single-shot softmax
+        with no running-max rescale (measured +15-17% at seq 8192/16384 on
+        v5e). The overlap knobs (kv_splits / q_splits / head_pack) come
+        from ``_SWEEP_TABLE``, the measured v5e winners; head_pack needs
+        ``heads`` (and no GQA) — without it the GQA-safe fallback adds the
+        next overlap lever instead (q_splits, then kv_splits 2).
         """
 
         def clamp(pref: int, seq: int, quantum: int) -> int:
@@ -278,41 +293,46 @@ class KernelConfig:
                 raise ValueError(f"seq {seq} not tileable (quantum {quantum})")
             return b
 
+        for bound, row in cls._SWEEP_TABLE:
+            if bound is None or seq_kv <= bound:
+                tbl_q, tbl_sp, tbl_qs, tbl_hp = row
+                break
+
         # Q-block quantum: the dtype's native sublane tile (bf16 16, int8 32)
         # so chosen blocks never force a Mosaic relayout.
         dtype = kwargs.get("dtype", DType.BF16)
         if preferred_q is None:
-            # Largest Q block whose *whole-sequence* S tile still fits the
-            # budget: block_q 1024 wins while KV stays single-shot (182 vs
-            # 179 TFLOP/s at seq 4096 on v5e), but halving the KV budget to
-            # keep it loses far more (97 vs 188 at seq 16384) — whole-seq KV
-            # dominates the Q-block choice.
-            preferred_q = 1024 if 4 * 1024 * seq_kv <= cls.S_TILE_BUDGET_BYTES \
-                else 512
+            preferred_q = tbl_q
         bq = clamp(preferred_q, seq_q, dtype.min_tile[0])
         if preferred_kv is None:
+            # Whole-sequence KV while the S tile fits the budget; beyond
+            # that, the largest block the budget allows.
             preferred_kv = max(cls.S_TILE_BUDGET_BYTES // (4 * bq), 128)
         bkv = clamp(preferred_kv, seq_kv, 128)
-        if "kv_splits" not in kwargs and bkv >= 2048:
-            # Autotuned v5e sweet spot: ~1 K-lane sub-tiles up to block_kv
-            # 4096, ~2 K above (profiles/split_partials_v5e.csv).
-            sub = 2048 if bkv >= 8192 else 1024
-            if bkv % sub == 0:
-                kwargs["kv_splits"] = bkv // sub
-        if ("head_pack" not in kwargs and heads and heads == (kv_heads or heads)
-                and kwargs.get("kv_loop", KVLoop.GRID) == KVLoop.GRID):
-            # Short sequences: amortize the per-program serial chain over
-            # several whole heads (v5e sweep, profiles/bench_sweep_r3.csv:
-            # seq 512 hp8+qs2 130 vs 101 unpacked; seq 1024 hp4 153 vs 148;
-            # >= 2048 the KV walk is long enough that packing stops paying).
-            cap = 8 if seq_kv <= 512 else (4 if seq_kv <= 1024 else 1)
-            hp = next((c for c in (cap, cap // 2, 2)
-                       if 1 < c <= cap and heads % c == 0), 1)
+
+        grid = kwargs.get("kv_loop", KVLoop.GRID) == KVLoop.GRID
+        hp = 1
+        if ("head_pack" not in kwargs and grid and heads
+                and heads == (kv_heads or heads)):
+            hp = next((c for c in (tbl_hp, tbl_hp // 2, tbl_hp // 4, 2)
+                       if 1 < c <= tbl_hp and heads % c == 0), 1)
             if hp > 1:
                 kwargs["head_pack"] = hp
-            if (seq_kv <= 512 and hp > 1 and "q_splits" not in kwargs
-                    and bq % (2 * dtype.min_tile[0]) == 0):
-                kwargs["q_splits"] = 2
+        if hp == 1 and tbl_hp > 1:
+            # GQA / unknown-heads fallback: head packing was the bucket's
+            # main overlap lever; the next best one is q_splits everywhere,
+            # plus kv_splits 2 once the S tile is >= 2048 wide (measured:
+            # seq 2048 GQA sp2+qs2 178 vs hp4+qs2 186; at seq <= 1024
+            # kv_splits *hurts* — sub-tiles fall below a useful MXU shot).
+            tbl_qs = max(tbl_qs, 2)
+            if bkv >= 2048:
+                tbl_sp = max(tbl_sp, 2)
+        if ("kv_splits" not in kwargs and tbl_sp > 1
+                and bkv % (tbl_sp * 128) == 0):
+            kwargs["kv_splits"] = tbl_sp
+        if ("q_splits" not in kwargs and grid and tbl_qs > 1
+                and bq % (tbl_qs * dtype.min_tile[0]) == 0):
+            kwargs["q_splits"] = tbl_qs
         return cls(block_q=bq, block_kv=bkv, **kwargs)
 
     # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,

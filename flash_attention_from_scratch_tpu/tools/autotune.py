@@ -23,7 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ..dispatch import median_runtime
+from ..dispatch import median_runtime, chain_runtime
 from ..ops.configs import (
     DType,
     KernelConfig,
@@ -40,11 +40,13 @@ __all__ = ["tune", "main"]
 def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
     """Measure each config; returns rows sorted by TFLOP/s descending.
 
-    Samples are chained (each dispatch's output feeds the next Q) and any
-    measurement implying throughput above 1.05x the chip's measured matmul
-    ceiling is re-measured once and, if still impossible, marked — the
-    relay can serve identical-dispatch streams too fast, and an autotuner
-    that sorts by max TFLOP/s would otherwise crown those artifacts.
+    Timing is the in-jit ``chain_runtime`` chain (pure device seconds — the
+    only measurement that ranks configs truthfully through the tunnel;
+    host-fenced chained timing was seen to over-report ~8% at seq 4096 and
+    re-order winners). Cross-shaped configs that cannot chain fall back to
+    host-fenced ``median_runtime``. Any measurement implying throughput
+    above 1.05x the chip's measured matmul ceiling is re-measured once and,
+    if still impossible, marked as a timing artifact.
     """
     dtype_groups: dict[DType, list[KernelConfig]] = {}
     for cfg in configs:
@@ -71,13 +73,15 @@ def tune(configs, seq: int, heads: int, batch: int, iters: int = 7, log=print):
                 t0 = time.perf_counter()
                 out = jax.block_until_ready(flash_forward(q, k, v, cfg))
                 first_call_s = time.perf_counter() - t0
-                chain = None
                 if out.shape == q.shape and out.dtype == q.dtype:
-                    def chain(prev, cfg=cfg):
-                        return flash_forward(prev, k, v, cfg)
-                measure = lambda: median_runtime(  # noqa: E731
-                    lambda: flash_forward(q, k, v, cfg),
-                    warmup=2, iters=iters, chain_fn=chain)
+                    measure = lambda cfg=cfg: chain_runtime(  # noqa: E731
+                        lambda x, k, v, cfg=cfg: flash_forward(x, k, v, cfg),
+                        q, k, v, iters=max(iters - 2, 3),
+                        est_secs=flops / 120e12)
+                else:
+                    measure = lambda cfg=cfg: median_runtime(  # noqa: E731
+                        lambda: flash_forward(q, k, v, cfg),
+                        warmup=2, iters=iters)
                 secs = measure()
                 if flops / secs / 1e12 > ceiling:
                     log(f"  {cfg.short_form()}: {flops/secs/1e12:.1f} TFLOP/s "

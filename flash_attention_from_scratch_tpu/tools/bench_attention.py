@@ -7,8 +7,8 @@ harmonic-mean summary the reference's README table uses (``README.md:38-62``).
 On TPU the baseline is the chip's MXU: both nominal SoL and a measured matmul
 ceiling (the role official FA2 played for the reference).
 
-Timing is pure-device by default: N chained kernel calls run under one
-``lax.scan`` inside a single jit (``dispatch.scan_runtime``), so per-call
+Timing is pure-device by default: N chained kernel calls unrolled inside a
+single jit (``dispatch.chain_runtime``), so per-call
 host/tunnel dispatch cost — which dwarfs a sub-millisecond seq-512 kernel
 through the axon relay — cancels out of the slope. This is the measurement
 role NCU kernel Duration played for the reference (``ncu_bench.py:31-56``).
@@ -39,7 +39,7 @@ import sys
 
 import jax
 
-from ..dispatch import median_runtime, scan_runtime
+from ..dispatch import median_runtime, chain_runtime
 from ..ops.configs import (
     DType,
     KernelConfig,
@@ -105,8 +105,31 @@ def _flops(cfg: KernelConfig, seq: int, heads: int, batch: int) -> int:
     return calc_self_attn_flop(seq, cfg.d_head, heads, batch)
 
 
+def _bench_jax_builtin(q, k, v, flops: float, causal: bool) -> float | None:
+    """JAX's production TPU flash kernel — the official-FA2 baseline role."""
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention,
+        )
+    except Exception:
+        return None
+    import math
+
+    seq = q.shape[2]
+    sm = 1.0 / math.sqrt(q.shape[-1])
+    bs = BlockSizes(block_q=min(512, seq), block_k_major=min(1024, seq),
+                    block_k=min(1024, seq), block_b=1)
+    fn = jax.jit(lambda x, k, v: flash_attention(
+        x, k, v, causal=causal, sm_scale=sm, block_sizes=bs))
+    try:
+        return chain_runtime(fn, q, k, v, iters=5, est_secs=flops / 120e12)
+    except Exception:
+        return None
+
+
 def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
-          iters: int = 5, in_jit: bool = True, log=print):
+          iters: int = 5, in_jit: bool = True, baseline: bool = False,
+          causal: bool = False, log=print):
     """Returns {config_short_form: {seq_len: row_dict}}."""
     results: dict[str, dict[int, dict]] = {}
     for seq in seq_lens:
@@ -129,7 +152,7 @@ def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
             flops = _flops(cfg, seq, heads, batch)
             est = flops / 120e12  # sizing guess only: ~120 TFLOP/s
             if in_jit:
-                secs = scan_runtime(
+                secs = chain_runtime(
                     lambda x, k, v, cfg=cfg: flash_forward(x, k, v, cfg),
                     q, k, v, iters=iters, est_secs=est,
                 )
@@ -146,6 +169,22 @@ def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
             }
             log(f"  seq {seq:>6} {cfg.short_form():<48} {secs*1e3:9.3f} ms "
                 f"{tflops:7.2f} TFLOP/s {gbps:7.1f} GB/s")
+        if baseline and by_key:
+            # One baseline row per seq at the first (dtype, d_head) group's
+            # operands — the reference benches official FA2 alongside every
+            # sweep (run_kernels.py:114-136).
+            q, k, v = next(iter(by_key.values()))
+            d = q.shape[-1]
+            flops = (calc_causal_attn_flop(seq, d, heads, batch) if causal
+                     else calc_self_attn_flop(seq, d, heads, batch))
+            secs = _bench_jax_builtin(q, k, v, flops, causal)
+            if secs is not None:
+                tflops = flops / secs / 1e12
+                results.setdefault("jax_builtin_flash", {})[seq] = {
+                    "tflops": tflops, "ms": secs * 1e3, "gbps": 0.0,
+                }
+                log(f"  seq {seq:>6} {'jax_builtin_flash':<48} "
+                    f"{secs*1e3:9.3f} ms {tflops:7.2f} TFLOP/s")
     return results
 
 
@@ -171,7 +210,10 @@ def main(argv=None):
     ap.add_argument("--fori", action="store_true",
                     help="force the FORI kv loop on every config")
     ap.add_argument("--host-timing", action="store_true",
-                    help="fenced host timing instead of in-jit lax.scan chain")
+                    help="fenced host timing instead of the in-jit chain")
+    ap.add_argument("--baseline", action="store_true",
+                    help="also bench JAX's production TPU flash kernel per "
+                         "seq (the official-FA2 baseline role)")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--json", action="store_true", help="emit one JSON line per kernel")
     args = ap.parse_args(argv)
@@ -198,9 +240,11 @@ def main(argv=None):
 
     sol = chip_sol_tflops()
     print(f"device={device_kind()} commit={_git_commit()} nominal SoL={sol} "
-          f"timing={'host' if args.host_timing else 'in-jit scan'}")
+          f"timing={'host' if args.host_timing else 'in-jit chain'}")
     results = bench(configs, seq_lens, heads=args.heads, kv_heads=args.kv_heads,
-                    iters=args.iters, in_jit=not args.host_timing)
+                    iters=args.iters, in_jit=not args.host_timing,
+                    baseline=args.baseline,
+                    causal=bool(args.causal or args.window))
     mm = measured_matmul_tflops()
 
     header = f"{'config':<48}" + "".join(f"{s:>9}" for s in seq_lens) + \

@@ -7,7 +7,7 @@ an Xprof trace: this tool runs each selected kernel under
 ``profiles/traces/<config>/`` (gitignored — traces are tens of MB), parses
 the xplane with ``jax.profiler.ProfileData`` when possible, and writes a
 small committed JSON summary per kernel: device duration per call (from the
-trace when parseable, otherwise from the in-jit ``scan_runtime`` chain),
+trace when parseable, otherwise from the in-jit ``chain_runtime`` chain),
 TFLOP/s, and model-based HBM GB/s.
 
 Capture runs in a SUBPROCESS with a hard timeout: on some tunneled device
@@ -116,7 +116,7 @@ def main(argv=None):
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
 
-    from ..dispatch import scan_runtime
+    from ..dispatch import chain_runtime
     from ..ops.configs import DType, calc_self_attn_flop, get_kernel_configs
     from ..ops.flash_forward import flash_forward
     from ..tools.bench_attention import _hbm_bytes
@@ -140,7 +140,7 @@ def main(argv=None):
         q, k, v = generate_qkv(args.seq, d_head=cfg.d_head, n_heads=args.heads,
                                batch=batch, dtype=cfg.dtype.jnp_dtype)
         flops = calc_self_attn_flop(args.seq, cfg.d_head, args.heads, batch)
-        secs = scan_runtime(
+        secs = chain_runtime(
             lambda x, k, v, cfg=cfg: flash_forward(x, k, v, cfg),
             q, k, v, iters=3, est_secs=flops / 120e12)
         rows.append({

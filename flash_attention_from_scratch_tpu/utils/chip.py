@@ -78,14 +78,14 @@ def measured_matmul_tflops(n: int = 4096, iters: int = 10) -> float:
     v5e (scan-timed: 4096^3 193.6, 8192^3 176.0, 16384^3 185.0 TFLOP/s —
     bigger operands lose to VMEM buffering, not HBM bandwidth).
     """
-    from ..dispatch import scan_runtime
+    from ..dispatch import chain_runtime
 
     a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32).astype(jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32).astype(jnp.bfloat16)
-    # In-jit scan chain, same timer as every kernel measurement (host-fenced
+    # In-jit unrolled chain, same timer as every kernel measurement (host-fenced
     # timing over-reports through the tunnel; the ceiling and the kernels
     # must be measured the same way or %-of-ceiling is meaningless). The
     # 2^-4 rescale keeps the chained values finite at ~n^2 extra FLOPs.
-    secs = scan_runtime(lambda x, y: (x @ y) * jnp.bfloat16(2.0 ** -4),
+    secs = chain_runtime(lambda x, y: (x @ y) * jnp.bfloat16(2.0 ** -4),
                         a, b, iters=iters, est_secs=2 * n**3 / 180e12)
     return 2 * n**3 / secs / 1e12

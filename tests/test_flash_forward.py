@@ -277,12 +277,23 @@ def test_kv_splits_validation():
 
 
 def test_for_shape_picks_splits():
+    # Defaults follow the measured v5e winners (_SWEEP_TABLE).
     cfg = KernelConfig.for_shape(4096, 4096)
-    assert cfg.block_kv == 4096 and cfg.kv_splits == 4
+    assert cfg.block_kv == 4096 and cfg.kv_splits == 2 and cfg.q_splits == 2
     cfg = KernelConfig.for_shape(16384, 16384)
-    assert cfg.kv_splits == cfg.block_kv // 2048
+    assert cfg.kv_splits == 8 and cfg.q_splits == 2
     cfg = KernelConfig.for_shape(1024, 1024)
-    assert cfg.kv_splits == 1
+    assert cfg.kv_splits == 1 and cfg.head_pack == 1
+    # With heads known (and no GQA) short sequences pack whole heads.
+    cfg = KernelConfig.for_shape(512, 512, heads=16, kv_heads=16)
+    assert cfg.head_pack == 16 and cfg.q_splits == 2
+    cfg = KernelConfig.for_shape(2048, 2048, heads=16, kv_heads=16)
+    assert cfg.head_pack == 4 and cfg.kv_splits == 1
+    # GQA cannot pack: falls back to q_splits (+ kv_splits once wide).
+    cfg = KernelConfig.for_shape(2048, 2048, heads=16, kv_heads=4)
+    assert cfg.head_pack == 1 and cfg.q_splits == 2 and cfg.kv_splits == 2
+    cfg = KernelConfig.for_shape(8192, 8192, heads=16, kv_heads=16)
+    assert cfg.head_pack == 2 and cfg.kv_splits == 4
 
 
 # -- q-row split partials (q_splits) -----------------------------------------
