@@ -311,10 +311,12 @@ def prefill(params, tokens, cfg: LlamaConfig, cache: PagedKVCache,
             q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
         if mesh is not None:
             out = shard_mapped_attention(q, k, v,
-                                         cfg.attn_config(s, layer=li), mesh,
-                                         interpret)
+                                         cfg.attn_config(
+                                             s, layer=li, training=False),
+                                         mesh, interpret)
         else:
-            out = flash_attention(q, k, v, cfg.attn_config(s, layer=li),
+            out = flash_attention(q, k, v,
+                                  cfg.attn_config(s, layer=li, training=False),
                                   interpret)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
         o_extra = None

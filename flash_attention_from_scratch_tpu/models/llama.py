@@ -95,7 +95,20 @@ class LlamaConfig:
             return self.window_pattern[li % len(self.window_pattern)]
         return self.sliding_window
 
-    def attn_config(self, seq_len: int, layer: int | None = None) -> KernelConfig:
+    def attn_config(self, seq_len: int, layer: int | None = None, *,
+                    training: bool = True) -> KernelConfig:
+        """Measured-best causal kernel config for this model at ``seq_len``.
+
+        Data: profiles/causal_llama_v5e.csv (Llama-3-8B head shape, 32 Q /
+        8 KV heads, causal FLOP accounting). The GRID kernel with whole-seq
+        KV blocks + sp2+qs2 wins up to seq 4096 (81.9 vs 55.9 FORI at
+        2048); from seq 8192 the FORI kernel's true causal early exit wins
+        by ~28% (98.1 vs 76.6) because GRID still DMAs every above-diagonal
+        block it predicates away. FORI has no saved-LSE backward path, so
+        the FORI branch is taken only with ``training=False`` (the serving
+        prefill path); training always gets GRID.
+        """
+
         def largest_divisor_block(limit: int, quantum: int) -> int:
             b = min(limit, seq_len)
             b -= b % quantum
@@ -110,18 +123,32 @@ class LlamaConfig:
 
         window = (self.layer_window(layer) if layer is not None
                   else self.sliding_window)
-        return KernelConfig(
-            block_q=largest_divisor_block(self.block_q, 8),
-            block_kv=largest_divisor_block(self.block_kv, 128),
-            d_head=self.d_head,
-            dtype=self.dtype,
-            causal=True,
-            window=window,
-            attn_softcap=self.attn_softcap,
-            # The first-KV-block softmax specialization assumes block 0 is
-            # visible, which a window breaks.
-            optimized_softmax=not window,
-        )
+        common = dict(d_head=self.d_head, dtype=self.dtype, causal=True,
+                      window=window, attn_softcap=self.attn_softcap,
+                      # The first-KV-block softmax specialization assumes KV
+                      # block 0 is visible, which a window breaks.
+                      optimized_softmax=not window)
+        bq = largest_divisor_block(self.block_q, 8)
+        if not training and seq_len >= 8192 and seq_len % 1024 == 0:
+            from ..ops.configs import KVLoop
+
+            return KernelConfig(block_q=bq, block_kv=1024,
+                                kv_loop=KVLoop.FORI, **common)
+        # Whole-seq KV single-shot softmax pays up to 4096 even causal
+        # (79.0 vs 67.6 at seq 4096); past that the per-program predicated
+        # DMA waste outgrows it and block_kv caps at the configured limit.
+        bkv_limit = seq_len if seq_len <= 4096 else self.block_kv
+        bkv = largest_divisor_block(bkv_limit, 128)
+        kw = {}
+        if seq_len <= 4096:
+            # sp2+qs2 overlap the exp pass with the next sub-tile's matmul
+            # (+24% at seq 2048); at 8192 the same knobs measure *slower*
+            # under causal predication, so they stay off there.
+            if bkv >= 2048 and bkv % 256 == 0:
+                kw["kv_splits"] = 2
+            if bq % (2 * self.dtype.min_tile[0]) == 0:
+                kw["q_splits"] = 2
+        return KernelConfig(block_q=bq, block_kv=bkv, **common, **kw)
 
 
 LLAMA3_8B = LlamaConfig(
