@@ -117,10 +117,13 @@ def chain_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
             t0 = time.perf_counter()
             sync(step_fn(x0, *args))
             est_secs = max(time.perf_counter() - t0 - sync_overhead(), 1e-5)
-        # Aim for ~50 ms per short trial: long enough to dwarf the fence,
-        # short enough that compile time (the chain is unrolled) and
-        # 2*iters trials stay manageable.
-        steps = int(min(max(0.05 / est_secs, 4), 128))
+        # Aim for ~120 ms of *difference* between the two chain lengths:
+        # the t2 - t1 slope divides fence noise by `steps`, and the tunnel
+        # fence has a positive heavy tail of several ms — at steps=4 that
+        # was measured leaking +-8% into seq-4096 numbers (one run read
+        # 204 TFLOP/s, above nominal SoL). Floor 8, cap 128 (compile time
+        # of the unrolled chain).
+        steps = int(min(max(0.12 / est_secs, 8), 128))
 
     def chained(n):
         @jax.jit
@@ -141,10 +144,11 @@ def chain_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
         t0 = time.perf_counter()
         sync(f2(x0, *args))
         t2s.append(time.perf_counter() - t0)
-    t1s.sort()
-    t2s.sort()
-    t1, t2 = t1s[len(t1s) // 2], t2s[len(t2s) // 2]
-    return max((t2 - t1) / steps, 1e-9)
+    # Min, not median: trial noise (fence jitter, host hiccups) is strictly
+    # additive, so the fastest trial of each chain length is the cleanest;
+    # taking mins of BOTH lengths cancels the shared fixed cost without
+    # letting one tail-struck t1 inflate the slope.
+    return max((min(t2s) - min(t1s)) / steps, 1e-9)
 
 
 def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None,

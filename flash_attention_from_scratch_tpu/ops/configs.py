@@ -638,6 +638,27 @@ def get_kernel_progression_configs(dtype: DType = DType.BF16) -> list[tuple[str,
         # next sub-tile's MXU matmul (163 -> 179 TFLOP/s at seq 4096 on v5e).
         ("9_split_partials", KernelConfig(dtype=dtype, block_q=512,
                                           block_kv=2048, kv_splits=2)),
+        # (TPU-only) whole-sequence KV block: one KV step per Q block means
+        # a single-shot softmax with no running-max rescale at all. At seq
+        # 4096 (the rung measurement shape) the S tile is (512, 4096) fp32 =
+        # 8 MB — comfortably inside the 32 MB budget.
+        ("10_whole_kv", KernelConfig(dtype=dtype, block_q=512,
+                                     block_kv=4096, kv_splits=2)),
+        # (TPU-only) q-row sub-tile splits: independent row chains with
+        # zero merge cost; re-ranked the winners under the honest in-jit
+        # chain timer (121 -> 189 TFLOP/s at seq 4096 combined with the
+        # whole-KV rung, profiles/bench_sweep_r3.csv).
+        ("11_q_splits", KernelConfig(dtype=dtype, block_q=512,
+                                     block_kv=4096, kv_splits=2, q_splits=2)),
+        # (TPU-only) whole-head packing: several heads' fully-independent
+        # QK->softmax->PV chains per program — the short/mid-seq lever
+        # (hp4: +8% at seq 2048; hp16+qs2: +29% at seq 512). At the rung
+        # shape (seq 4096) it is VMEM-bound to hp2 and roughly ties rung
+        # 11; it is measured here so the ladder records where packing
+        # stops paying.
+        ("12_head_pack", KernelConfig(dtype=dtype, block_q=512,
+                                      block_kv=4096, kv_splits=4,
+                                      head_pack=2)),
     ]
     return ladder
 

@@ -60,6 +60,7 @@ def _check_grads(seq=256, heads=2, kv_heads=None, batch=1, causal=False,
         assert ok, f"d{name}: kernel err {kerr:.3e} > 2x baseline {berr:.3e}"
 
 
+@pytest.mark.slow
 def test_backward_basic():
     _check_grads()
 

@@ -141,6 +141,7 @@ def test_load_hf_checkpoint_safetensors(hf_model, tmp_path):
     assert np.max(np.abs(got - ref)) < 2e-2
 
 
+@pytest.mark.slow
 def test_gemma2_forward_parity():
     """Gemma-2: GeGLU + sandwich norms + softcaps + scaled embeddings +
     alternating windows — our forward must match transformers' Gemma2."""

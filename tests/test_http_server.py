@@ -92,6 +92,7 @@ def test_http_stop_tokens(frontend):
     assert got[-1] == full[1] and len(got) == 2
 
 
+@pytest.mark.slow
 def test_http_text_roundtrip():
     """Text form with a toy tokenizer (encode/decode protocol)."""
     from flash_attention_from_scratch_tpu.models.llama import init_params

@@ -175,6 +175,7 @@ def test_rope_scaling_consistency():
     assert float(jnp.max(jnp.abs(ref - ref_base))) > 0.01
 
 
+@pytest.mark.slow
 def test_remat_layers():
     """Per-layer jax.checkpoint: identical grads, recomputation in backward.
 

@@ -92,6 +92,7 @@ def test_moe_mlp_matches_dense_oracle(params):
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_moe_forward_and_grad(params):
     tokens = jax.random.randint(jax.random.PRNGKey(3), (2, 129), 0,
                                 CFG.vocab_size)
@@ -146,6 +147,7 @@ def test_expert_parallel_sharding_matches_single_device(cpu_mesh_devices):
     np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_decode_matches_forward(params):
     """MoE through the paged decode path: server tokens teacher-force
     against moe_forward (the same capacity-padded routing)."""

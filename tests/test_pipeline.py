@@ -76,6 +76,7 @@ def test_pipeline_two_stages_microbatch_2(setup):
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_loss_and_grad(setup):
     """Backward through ppermute: grads finite and match sequential grads."""
     mesh, params, _ = setup
