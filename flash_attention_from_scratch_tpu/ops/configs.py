@@ -586,12 +586,21 @@ def get_autotuning_kernel_configs(
             bkv // sub for sub in (1024, 2048) if bkv % sub == 0 and bkv > sub
         }
         for sp in sorted(splits):
-            cfg = KernelConfig(
-                block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype,
-                reverse_kv=rev, kv_splits=sp,
-            )
-            if should_autotune_config(cfg):
-                out.append(cfg)
+            # The three overlap levers compose; sweep q_splits and
+            # head_pack alongside kv_splits (hp > 1 only without rev —
+            # reverse-KV is an independent axis and the combination never
+            # measured a win; keeps the space ~2x, not 4x).
+            for qs, hp in ((1, 1), (2, 1), (1, 2), (2, 2)):
+                if hp > 1 and rev:
+                    continue
+                if qs > 1 and bq % (qs * dtype.min_tile[0]):
+                    continue
+                cfg = KernelConfig(
+                    block_q=bq, block_kv=bkv, d_head=d_head, dtype=dtype,
+                    reverse_kv=rev, kv_splits=sp, q_splits=qs, head_pack=hp,
+                )
+                if should_autotune_config(cfg):
+                    out.append(cfg)
     return out
 
 

@@ -139,28 +139,42 @@ def _dkv_kernel(cfg: KernelConfig, scale: float, num_q: int, group: int,
         visible = _block_visible(cfg, q_span, kv_start)
 
     def compute():
-        q = q_ref[0, 0]
+        q_full = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        # Row stats arrive as full (1, seq_q) lane rows; slice this Q block's
-        # (1, block_q) window — lanes stay lanes, no relayout.
-        lse_row = lse_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
-        d_row = dsum_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
+        do_full = do_ref[0, 0]
+        # Sub-tile the Q rows (cfg.q_splits): each sub-tile runs its own
+        # independent recompute -> dS chain into the shared accumulators,
+        # so Mosaic overlaps sub-tile i's VPU exp/dS pass with sub-tile
+        # i+1's MXU matmuls — the backward analogue of the forward's
+        # q_splits (measured 135 -> 15x+% at seq 4096, see
+        # profiles/backward_v5e.csv).
+        sub = cfg.block_q // cfg.q_splits
+        for i in range(cfg.q_splits):
+            rows = slice(i * sub, (i + 1) * sub)
+            q = q_full[rows]
+            do = do_full[rows]
+            # Row stats arrive as full (1, seq_q) lane rows; slice this
+            # sub-tile's (1, sub) window — lanes stay lanes, no relayout.
+            lse_row = lse_ref[0, 0, :, pl.ds(q_row + i * sub, sub)]
+            d_row = dsum_ref[0, 0, :, pl.ds(q_row + i * sub, sub)]
 
-        pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
-        pt_mm = pt.astype(cfg.dtype.jnp_dtype)
-        # dV_j += P^T dO
-        dv_acc[...] += jax.lax.dot_general(
-            pt_mm, do, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-        )
-        # dK_j += (dS^T * scale) Q
-        dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
-        dk_acc[...] += jax.lax.dot_general(
-            dst, q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-        )
+            pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row,
+                                     q_span + i * sub, kv_start)
+            pt_mm = pt.astype(cfg.dtype.jnp_dtype)
+            # dV_j += P^T dO
+            dv_acc[...] += jax.lax.dot_general(
+                pt_mm, do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
+            # dK_j += (dS^T * scale) Q
+            dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
+            dk_acc[...] += jax.lax.dot_general(
+                dst, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
 
     if cfg.causal:
         @pl.when(visible)
@@ -202,20 +216,31 @@ def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
 
     def compute():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        k_full = k_ref[0, 0]
+        v_full = v_ref[0, 0]
         do = do_ref[0, 0]
         lse_row = lse_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
         d_row = dsum_ref[0, 0, :, pl.ds(q_row, cfg.block_q)]
 
-        pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row, q_span, kv_start)
-        dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
-        # dQ_i += dS K: contract the KV dim (dim 0 of dS^T and of K) on the
-        # MXU directly — the tile never transposes back to (q, kv) space.
-        dq_acc[...] += jax.lax.dot_general(
-            dst, k, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
-        )
+        # Sub-tile the KV rows (cfg.kv_splits): independent recompute -> dS
+        # chains per sub-tile overlap VPU and MXU work, mirroring the
+        # forward's split-partials (no merge needed — dQ just accumulates).
+        sub = cfg.block_kv // cfg.kv_splits
+        for i in range(cfg.kv_splits):
+            rows = slice(i * sub, (i + 1) * sub)
+            k = k_full[rows]
+            v = v_full[rows]
+            pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row, q_span,
+                                     kv_start + i * sub)
+            dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
+            # dQ_i += dS K: contract the KV dim (dim 0 of dS^T and of K) on
+            # the MXU directly — the tile never transposes back to (q, kv)
+            # space.
+            dq_acc[...] += jax.lax.dot_general(
+                dst, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
 
     if cfg.causal:
         @pl.when(visible)
@@ -238,23 +263,44 @@ def make_flash_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                         seq_kv: int, kv_heads: int, scale: float,
                         interpret: bool,
                         block_q: int | None = None,
-                        block_kv: int | None = None):
+                        block_kv: int | None = None,
+                        splits: int | None = None):
     """Build (dq_call, dkv_call) for one shape specialization.
 
-    ``block_q``/``block_kv`` default to backward-friendly tiles (the forward
-    default block_kv can be the whole sequence, which would square the
-    backward's VMEM footprint — five live (kv, q) tiles instead of two).
+    ``block_q``/``block_kv`` default to backward-tuned 2048-capped tiles
+    (v5e chain-timed sweep at seq 4096: 512x512 109.8, 1024x1024 129.6,
+    2048x2048 134.0 TFLOP/s on the 2.5x-forward FLOP model — bigger tiles
+    amortize the serial recompute chain; the forward's whole-seq blocks
+    would square the VMEM footprint here, five live (kv, q) tiles instead
+    of two). ``splits`` sub-tiles each program's arbitrary-axis tile
+    (Q rows in the dKV kernel, KV rows in the dQ kernel) into independent
+    recompute->dS chains — the backward analogue of the forward's
+    q_splits/kv_splits levers; measured NEUTRAL on v5e (129.6 -> 129.7 at
+    sp2, worse at sp4: the backward is not VPU-serialization-bound the way
+    the forward was), so it defaults off and stays available for other
+    chips.
     """
-    bq = block_q or min(cfg.block_q, 512, seq_q)
-    bkv = block_kv or min(max(cfg.block_kv, 128), 512, seq_kv)
+    bq = block_q or min(2048, seq_q)
+    bkv = block_kv or min(2048, seq_kv)
     while seq_q % bq:
         bq //= 2
     while seq_kv % bkv:
         bkv //= 2
+    if splits is None:
+        splits = 1
+    # dKV sub-tiles slice the lane-resident LSE/D rows, so the sub-tile
+    # width must stay a multiple of 128 lanes; dQ sub-tiles slice KV
+    # sublanes but the S sub-tile's KV dim is lanes-major in the matmuls —
+    # same 128 quantum.
+    q_splits = splits if (splits > 1 and bq % splits == 0
+                          and (bq // splits) % 128 == 0) else 1
+    kv_splits = splits if (splits > 1 and bkv % splits == 0
+                           and (bkv // splits) % 128 == 0) else 1
     bcfg = KernelConfig(
         block_q=bq, block_kv=bkv, d_head=cfg.d_head, dtype=cfg.dtype,
         causal=cfg.causal, use_exp2=True, q_offset=cfg.q_offset,
         window=cfg.window, attn_softcap=cfg.attn_softcap,
+        q_splits=q_splits, kv_splits=kv_splits,
         # optimized_softmax is a forward-only knob the backward never reads;
         # clear it under window to satisfy the config invariant.
         optimized_softmax=not cfg.window,

@@ -129,8 +129,15 @@ def _bench_jax_builtin(q, k, v, flops: float, causal: bool) -> float | None:
 
 def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
           iters: int = 5, in_jit: bool = True, baseline: bool = False,
-          causal: bool = False, log=print):
-    """Returns {config_short_form: {seq_len: row_dict}}."""
+          causal: bool = False, grad: bool = False, log=print):
+    """Returns {config_short_form: {seq_len: row_dict}}.
+
+    With ``grad=True`` the timed step is the full fwd+bwd (``jax.grad`` of
+    the differentiable entry wrt q/k/v): 7 MXU matmuls of 2*s^2*d each
+    (QK, PV forward; S-recompute, dV, dP, dQ, dK backward) vs the
+    forward's 2 — the FLOP model scales by 3.5. The chain feeds dQ back in
+    as the next Q (same shape/dtype).
+    """
     results: dict[str, dict[int, dict]] = {}
     for seq in seq_lens:
         batch = BATCH_SIZE_FOR_SEQ_LEN.get(seq, 4)
@@ -140,6 +147,8 @@ def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
                 continue
             if cfg.window and cfg.window >= seq:
                 continue  # window >= seq degenerates to plain causal
+            if grad and cfg.kv_loop != KVLoop.GRID:
+                continue  # the saved-LSE backward path is GRID-only
             kvh = kv_heads or heads
             key = (cfg.dtype, cfg.d_head, kvh)
             if key not in by_key:
@@ -150,8 +159,26 @@ def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
                 by_key[key] = (q, k, v)
             q, k, v = by_key[key]
             flops = _flops(cfg, seq, heads, batch)
+            if grad:
+                flops = int(flops * 3.5)
             est = flops / 120e12  # sizing guess only: ~120 TFLOP/s
-            if in_jit:
+            if grad:
+                from ..ops.autodiff import flash_attention as _fa_diff
+
+                def _grad_step(x, k, v, cfg=cfg):
+                    jnp = jax.numpy
+                    dq, dk, dv = jax.grad(
+                        lambda q, k, v: _fa_diff(q, k, v, cfg).astype(
+                            jnp.float32).sum(), argnums=(0, 1, 2))(x, k, v)
+                    # Fold dK/dV in through a scalar so the dKV kernel
+                    # cannot be dead-code-eliminated; cost is one reduce.
+                    s = (dk.astype(jnp.float32).sum()
+                         + dv.astype(jnp.float32).sum()) * 0.0
+                    return (dq.astype(jnp.float32) + s).astype(x.dtype)
+
+                secs = chain_runtime(_grad_step, q, k, v, iters=iters,
+                                     est_secs=est)
+            elif in_jit:
                 secs = chain_runtime(
                     lambda x, k, v, cfg=cfg: flash_forward(x, k, v, cfg),
                     q, k, v, iters=iters, est_secs=est,
@@ -214,6 +241,9 @@ def main(argv=None):
     ap.add_argument("--baseline", action="store_true",
                     help="also bench JAX's production TPU flash kernel per "
                          "seq (the official-FA2 baseline role)")
+    ap.add_argument("--grad", action="store_true",
+                    help="time the full fwd+bwd step (jax.grad wrt q/k/v; "
+                         "FLOP model x3.5 for the 7 matmuls)")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--json", action="store_true", help="emit one JSON line per kernel")
     args = ap.parse_args(argv)
@@ -243,7 +273,7 @@ def main(argv=None):
           f"timing={'host' if args.host_timing else 'in-jit chain'}")
     results = bench(configs, seq_lens, heads=args.heads, kv_heads=args.kv_heads,
                     iters=args.iters, in_jit=not args.host_timing,
-                    baseline=args.baseline,
+                    baseline=args.baseline, grad=args.grad,
                     causal=bool(args.causal or args.window))
     mm = measured_matmul_tflops()
 

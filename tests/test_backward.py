@@ -122,6 +122,40 @@ def test_backward_offset_causal():
         assert ok, f"d{name}: kernel err {kerr:.3e} > 2x baseline {berr:.3e}"
 
 
+def test_backward_subtile_splits():
+    """splits=2 sub-tile chains give the same gradients (the knob defaults
+    off on v5e — measured neutral — but must stay correct)."""
+    import math
+
+    from flash_attention_from_scratch_tpu.ops.flash_backward import (
+        make_flash_backward,
+    )
+    from flash_attention_from_scratch_tpu.ops.flash_forward import (
+        flash_forward_with_lse,
+    )
+
+    seq, heads, batch = 512, 2, 1
+    q, k, v = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16)
+    do = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16,
+                      seed=2)[0]
+    cfg = KernelConfig(block_q=256, block_kv=256, causal=True)
+    o, lse = flash_forward_with_lse(q, k, v, cfg, interpret=True)
+    scale = 1.0 / math.sqrt(128)
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    outs = []
+    for sp in (1, 2):
+        dq_call, dkv_call = make_flash_backward(
+            cfg, batch, heads, seq, seq, heads, scale, True,
+            block_q=256, block_kv=256, splits=sp)
+        dq = dq_call(q, k, v, do, lse[:, :, None, :], dsum[:, :, None, :])
+        dk, dv = dkv_call(q, k, v, do, lse[:, :, None, :], dsum[:, :, None, :])
+        outs.append((dq, dk, dv))
+    for a, b in zip(*outs):
+        diff = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                     - b.astype(jnp.float32))))
+        assert diff < 0.05, diff
+
+
 def test_lse_matches_reference():
     """LSE residual equals log-sum-exp of the scaled scores."""
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)

@@ -1,0 +1,79 @@
+"""Benchmark-tool math: FLOP models, DMA-visit model, GQA byte accounting.
+
+The numbers the judge-facing CSVs are computed from (causal FLOP model,
+the GRID-vs-FORI visited-block model behind the GB/s column) are checked
+against brute force here, on CPU.
+"""
+
+import jax.numpy as jnp
+import pytest
+
+from flash_attention_from_scratch_tpu.ops.configs import (
+    KernelConfig,
+    KVLoop,
+    calc_causal_attn_flop,
+    calc_self_attn_flop,
+)
+from flash_attention_from_scratch_tpu.tools.bench_attention import (
+    _hbm_bytes,
+    _kv_blocks_visited,
+    bench,
+)
+
+
+def _brute_pairs(seq, window):
+    total = 0
+    for qpos in range(seq):
+        lo = max(0, qpos - window + 1) if window else 0
+        total += qpos - lo + 1
+    return total
+
+
+@pytest.mark.parametrize("window", [0, 1, 5, 100, 511, 512, 10_000])
+def test_causal_flop_model_matches_brute_force(window):
+    seq, d, h, b = 512, 128, 3, 2
+    expect = b * h * (4 * d + 6) * _brute_pairs(seq, window)
+    assert calc_causal_attn_flop(seq, d, h, b, window=window) == expect
+
+
+def test_causal_flop_caps_at_dense():
+    # window >= seq degenerates to plain causal; plain causal is just over
+    # half of the non-causal model (the diagonal).
+    c = calc_causal_attn_flop(1024, 128, 2, 2)
+    dense = calc_self_attn_flop(1024, 128, 2, 2)
+    assert dense / 2 < c < dense * 0.51
+
+
+def test_kv_blocks_visited_grid_fetches_everything():
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    assert _kv_blocks_visited(cfg, 1024, 1024) == 8 * 8
+
+
+def test_kv_blocks_visited_fori_early_exit():
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
+                       kv_loop=KVLoop.FORI)
+    # Q block i visits KV blocks 0..i -> sum(i+1) = n(n+1)/2.
+    assert _kv_blocks_visited(cfg, 1024, 1024) == 8 * 9 // 2
+
+    # A window drops fully-below-window blocks from the walk.
+    w = KernelConfig(block_q=128, block_kv=128, causal=True, window=128,
+                     optimized_softmax=False, kv_loop=KVLoop.FORI)
+    full = _kv_blocks_visited(cfg, 1024, 1024)
+    assert _kv_blocks_visited(w, 1024, 1024) < full
+
+
+def test_hbm_bytes_gqa_scales_kv_only():
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    full = _hbm_bytes(cfg, batch=2, heads=8, kv_heads=8, seq_q=512, seq_kv=512)
+    gqa = _hbm_bytes(cfg, batch=2, heads=8, kv_heads=2, seq_q=512, seq_kv=512)
+    qo = 2 * 8 * 512 * 128 * 4  # q + o, bf16 each
+    assert full - qo == 4 * (gqa - qo)  # KV bytes scale with kv_heads
+
+
+def test_bench_grad_mode_smoke():
+    """fwd+bwd chain runs and reports a positive number (CPU interpret)."""
+    cfg = KernelConfig(block_q=128, block_kv=128)
+    rows = bench([cfg], [256], heads=2, iters=2, grad=True,
+                 log=lambda *a: None)
+    row = rows[cfg.short_form()][256]
+    assert row["tflops"] > 0 and row["ms"] > 0
