@@ -356,10 +356,15 @@ class KernelConfig:
         out = hp * self.block_q * self.d_head * self.resolved_out_dtype.bytes * 2
         acc = hp * self.block_q * self.d_head * 4
         stats = 2 * hp * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
-        p = self.block_q * self.block_kv * 4  # S/P tile in fp32 (one live head)
+        # S/P tile in fp32, one per packed head: the head chains only
+        # overlap because EVERY packed head's tile is live concurrently —
+        # modeling a single live tile passed q1024_kv8192+sp8+hp2 through
+        # the pruner, which then OOMed on chip at 75 MB vs the 64 MB limit.
+        p = hp * self.block_q * self.block_kv * 4
         # Split-partials keeps one fp32 accumulator + (m, l) column per
         # sub-tile live until the end-of-block merge.
-        partials = (self.kv_splits - 1) * self.block_q * (self.d_head + 2) * 4
+        partials = (hp * (self.kv_splits - 1)
+                    * self.block_q * (self.d_head + 2) * 4)
         return q + kv + out + acc + stats + p + partials
 
     def fits_vmem(self) -> bool:

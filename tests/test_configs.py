@@ -60,8 +60,8 @@ def test_progression_ladder_shape():
     ladder = get_kernel_progression_configs()
     names = [n for n, _ in ladder]
     assert names[0] == "1_base"
-    assert len(ladder) == 9
-    assert names[-1] == "9_split_partials" and ladder[-1][1].kv_splits > 1
+    assert len(ladder) == 12
+    assert names[-1] == "12_head_pack" and ladder[-1][1].head_pack > 1
     assert ladder[-2][1].scale_q
     # The base rung must be the synchronous fori variant.
     assert ladder[0][1].kv_loop == KVLoop.FORI
