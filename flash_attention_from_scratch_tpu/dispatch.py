@@ -144,11 +144,17 @@ def chain_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
         t0 = time.perf_counter()
         sync(f2(x0, *args))
         t2s.append(time.perf_counter() - t0)
-    # Min, not median: trial noise (fence jitter, host hiccups) is strictly
-    # additive, so the fastest trial of each chain length is the cleanest;
-    # taking mins of BOTH lengths cancels the shared fixed cost without
-    # letting one tail-struck t1 inflate the slope.
-    return max((min(t2s) - min(t1s)) / steps, 1e-9)
+    # Median, not min: trial noise is MOSTLY additive (fence jitter, host
+    # hiccups), but the relay has also been seen to serve a repeated
+    # identical dispatch artificially fast — an entire lucky trial — and a
+    # min *selects* that artifact (observed: one autotune row reading
+    # 203 TFLOP/s, above the matmul ceiling). The median resists both
+    # tails; with steps >= 8 the residual fence noise in the slope is
+    # under ~1%.
+    t1s.sort()
+    t2s.sort()
+    t1, t2 = t1s[len(t1s) // 2], t2s[len(t2s) // 2]
+    return max((t2 - t1) / steps, 1e-9)
 
 
 def median_runtime(fn, *, warmup: int = 2, iters: int = 5, inner: int | None = None,

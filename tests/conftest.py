@@ -1,21 +1,25 @@
 """Test configuration.
 
-By default the suite runs on CPU (Pallas interpret mode) with 8 virtual
-devices so multi-chip sharding tests can build an 8-device mesh on any
-machine — deterministic, hermetic, and independent of a flaky TPU tunnel.
-Set ``JAX_PLATFORMS=tpu,cpu`` to run compiled kernels on an attached TPU;
-tests marked ``@pytest.mark.onchip`` (compiled numerics over the full build
-set, hardware-only behaviors) run ONLY in that mode and are skipped on CPU.
-The CPU platform is always appended so the virtual 8-device mesh exists in
-both modes. This must execute before the first ``import jax``.
+Default (``JAX_PLATFORMS`` unset): run on the attached TPU when one is
+registered — tests marked ``@pytest.mark.onchip`` (compiled numerics over
+the full build set, hardware-only behaviors) then run too. Set
+``JAX_PLATFORMS=cpu`` for a genuinely hermetic CPU run (Pallas interpret
+mode; onchip tests are skipped) — deterministic and independent of a
+flaky TPU tunnel. On a tunneled (axon) box the TPU backend registers at
+interpreter start via sitecustomize and plugin registration BYPASSES
+``JAX_PLATFORMS`` filtering, so requesting cpu re-execs the process
+without the registration trigger. The CPU platform is always appended so
+the 8-virtual-device mesh for the sharding suites exists in every mode.
+This must execute before the first ``import jax``.
 """
 
 import os
+import sys
 
 platforms = os.environ.get("JAX_PLATFORMS", "")
-if not platforms:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-elif "cpu" not in platforms.split(","):
+_cpu_only = bool(platforms) and set(platforms.split(",")) == {"cpu"}
+_needs_cpu_reexec = _cpu_only and bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+if platforms and "cpu" not in platforms.split(","):
     os.environ["JAX_PLATFORMS"] = platforms + ",cpu"
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -34,6 +38,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    if not _needs_cpu_reexec:
+        return
+    # The axon sitecustomize registered the tunneled TPU backend before any
+    # conftest ran, and plugin registration bypasses JAX_PLATFORMS=cpu —
+    # computations would silently go to the chip. Re-exec without the
+    # registration trigger for a genuinely hermetic CPU run (the condition
+    # is false post-exec, so this happens exactly once). Capture must be
+    # released first or the child inherits a captured stdout fd.
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest", *config.invocation_params.args],
+              env)
 
 
 def _tpu_attached() -> bool:
