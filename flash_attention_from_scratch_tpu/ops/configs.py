@@ -261,7 +261,7 @@ class KernelConfig:
         (512,   (512, 1, 2, 16)),   # 136.6 TFLOP/s
         (1024,  (512, 1, 1, 8)),    # 181.8
         (2048,  (1024, 1, 2, 4)),   # 185.8
-        (4096,  (512, 2, 2, 1)),    # 188.8
+        (4096,  (512, 2, 2, 2)),    # 188.5 (autotune_r4: hp2 tops 3 of 5)
         (8192,  (512, 4, 2, 2)),    # 188.9
         (None,  (512, 8, 2, 1)),    # 190.0 at 16384
     )
