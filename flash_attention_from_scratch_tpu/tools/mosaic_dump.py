@@ -45,8 +45,25 @@ __all__ = ["lower_kernel", "op_histogram", "diff_histograms", "slice_ir",
 _MOSAIC_RE = re.compile(r'custom_call_config\s*=?\s*.*?"', re.S)
 
 
+def dump_shape(cfg, seq: int = 2048, heads: int = 4):
+    """(seq, heads) that the config can actually run at.
+
+    Blocks must tile the sequence (whole-seq-KV configs need seq >=
+    block_kv) and head packing needs heads % head_pack == 0.
+    """
+    seq = max(seq, cfg.block_q, cfg.block_kv)
+    if seq % cfg.block_q or seq % cfg.block_kv:
+        seq = max(cfg.block_q, cfg.block_kv)
+        while seq % cfg.block_q or seq % cfg.block_kv:
+            seq += max(cfg.block_q, cfg.block_kv)
+    if heads % cfg.head_pack:
+        heads = cfg.head_pack
+    return seq, heads
+
+
 def lower_kernel(cfg, seq: int = 2048, heads: int = 4, batch: int = 1):
     """Lower one config; returns dict of IR texts and analyses."""
+    seq, heads = dump_shape(cfg, seq, heads)
     q, k, v = generate_qkv(seq, d_head=cfg.d_head, n_heads=heads, batch=batch,
                            dtype=cfg.dtype.jnp_dtype)
     call = make_flash_forward(cfg, batch, heads, seq, seq, interpret=False)
@@ -233,11 +250,12 @@ def check_regression(ir_dir: str = "kernel_ir", seq: int = 2048,
         except ValueError:
             log(f"  {name}: unparseable name, skipping")
             continue
-        if seq % cfg.block_q or seq % cfg.block_kv:
-            continue
+        # The dump shape must match what lower_kernel used (whole-seq-KV
+        # and head-packed configs adapt it), or op counts won't compare.
+        cseq, cheads = dump_shape(cfg, seq)
         committed = op_histogram(open(path).read())
-        q, k, v = generate_qkv(seq, d_head=cfg.d_head, n_heads=4, batch=1,
-                               dtype=cfg.dtype.jnp_dtype)
+        q, k, v = generate_qkv(cseq, d_head=cfg.d_head, n_heads=cheads,
+                               batch=1, dtype=cfg.dtype.jnp_dtype)
         fresh = op_histogram(extract_mosaic_module(cfg, q, k, v))
         t_old, t_new = sum(committed.values()), sum(fresh.values())
         msgs = []
@@ -303,9 +321,6 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     for cfg in get_kernel_configs(args.kernels):
         if cfg.dtype != dtype:
-            continue
-        if args.seq % cfg.block_q or args.seq % cfg.block_kv:
-            print(f"skipping {cfg.short_form()}: seq {args.seq} not tileable")
             continue
         name = cfg.short_form()
         print(f"lowering {name} ...")
