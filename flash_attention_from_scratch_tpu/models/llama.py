@@ -148,6 +148,17 @@ class LlamaConfig:
                 kw["kv_splits"] = 2
             if bq % (2 * self.dtype.min_tile[0]) == 0:
                 kw["q_splits"] = 2
+            # GQA group packing: packed Q heads share their group's KV tile
+            # (one KV stream per group instead of per Q head) and their
+            # independent chains overlap. +7% on top of sp2+qs2 at Llama
+            # 32/8-head shapes (86.5 vs 81.0 at seq 2048, 83.5 vs 79.0 at
+            # 4096; profiles/causal_llama_v5e.csv).
+            group = self.n_heads // self.n_kv_heads
+            hp = next((c for c in (4, 2)
+                       if self.n_heads % c == 0
+                       and (group % c == 0 or c % group == 0)), 1)
+            if hp > 1:
+                kw["head_pack"] = hp
         return KernelConfig(block_q=bq, block_kv=bkv, **common, **kw)
 
 

@@ -252,23 +252,23 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
 # ---------------------------------------------------------------------------
 
 
-def _grid_kernel_with_lse(cfg, scale, num_kv,
+def _grid_kernel_with_lse(cfg, scale, num_kv, group,
                           q_ref, k_ref, v_ref, o_ref, lse_ref,
                           acc_ref, m_ref, l_ref):
     """Ref-order shim: pallas passes outputs before scratch."""
-    _grid_kernel(cfg, scale, num_kv, q_ref, k_ref, v_ref, o_ref,
+    _grid_kernel(cfg, scale, num_kv, group, q_ref, k_ref, v_ref, o_ref,
                  acc_ref, m_ref, l_ref, lse_ref=lse_ref)
 
 
-def _grid_kernel_sinks(cfg, scale, num_kv,
+def _grid_kernel_sinks(cfg, scale, num_kv, group,
                        q_ref, k_ref, v_ref, sinks_ref, o_ref,
                        acc_ref, m_ref, l_ref):
     """Ref-order shim: the sinks input follows v in the in_specs."""
-    _grid_kernel(cfg, scale, num_kv, q_ref, k_ref, v_ref, o_ref,
+    _grid_kernel(cfg, scale, num_kv, group, q_ref, k_ref, v_ref, o_ref,
                  acc_ref, m_ref, l_ref, sinks_ref=sinks_ref)
 
 
-def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
+def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                  lse_ref=None, sinks_ref=None):
     kv_step = pl.program_id(3)
@@ -311,8 +311,11 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int,
                 # S tile (block_kv cols): ~d/block_kv of the VPU pass cost.
                 c = (scale * LOG2E) if cfg.use_exp2 else scale
                 q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
-            k = k_ref[0, g]
-            v = v_ref[0, g]
+            # GQA group packing: packed Q heads share their group's KV tile
+            # (the KV block carries max(1, head_pack // group) heads), so a
+            # group's KV streams from HBM once instead of once per Q head.
+            k = k_ref[0, g // group]
+            v = v_ref[0, g // group]
             base = g * cfg.block_q
 
             # q_splits: independent row sub-tiles within the Q block — same
@@ -434,21 +437,36 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     # materialized jnp.repeat of K/V (a pure index-map change on TPU).
     group = heads // (kv_heads or heads)
     if hp > 1:
-        if group > 1:
-            raise NotImplementedError(
-                "head_pack > 1 with GQA: packed KV blocks would need a "
-                "head-strided index map; use head_pack=1 for GQA shapes")
-        if heads % hp:
-            raise ValueError(f"head_pack {hp} must divide heads {heads}")
+        # Degrade rather than raise when the pack does not fit this shape:
+        # under tensor-parallel shard_map the per-device head count shrinks
+        # (e.g. 32 -> 4 at tp=8), and a model-level config must keep
+        # working on every shard. A program's packed Q heads must cover
+        # whole KV heads, so with GQA one of (hp, group) must divide the
+        # other.
+        while hp > 1 and (heads % hp
+                          or (group > 1 and group % hp and hp % group)):
+            hp //= 2
+        if hp != cfg.head_pack:
+            # The kernel reads cfg.head_pack; keep them consistent.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, head_pack=hp)
+    # KV heads per program: packed Q heads SHARE their group's KV tile —
+    # with hp <= group one KV head serves the whole program (its KV block
+    # streams from HBM once instead of once per Q head).
+    kv_pack = max(1, hp // group)
 
     def kv_index(b, h, qi, ki):
         blk = (num_kv - 1 - ki) if cfg.reverse_kv else ki
-        return (b, h // group if group > 1 else h, blk, 0)
+        # Head-axis index in units of kv_pack-sized blocks; integral for
+        # every legal (hp, group) pair (hp % group == 0 or group % hp == 0).
+        return (b, (h * hp) // (group * kv_pack), blk, 0)
 
     grid = (batch, heads // hp, num_q, num_kv)
-    kernel = (functools.partial(_grid_kernel_sinks, cfg, scale, num_kv)
+    kernel = (functools.partial(_grid_kernel_sinks, cfg, scale, num_kv,
+                                group)
               if has_sinks else
-              functools.partial(_grid_kernel, cfg, scale, num_kv))
+              functools.partial(_grid_kernel, cfg, scale, num_kv, group))
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     out_specs = pl.BlockSpec((1, hp, cfg.block_q, d),
@@ -456,7 +474,8 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
     if return_lse:
-        kernel = functools.partial(_grid_kernel_with_lse, cfg, scale, num_kv)
+        kernel = functools.partial(_grid_kernel_with_lse, cfg, scale, num_kv,
+                                   group)
         out_specs = (out_specs,
                      pl.BlockSpec((1, hp, cfg.block_q, 1),
                                   lambda b, h, qi, ki: (b, h, qi, 0),
@@ -467,8 +486,10 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     in_specs = [
         pl.BlockSpec((1, hp, cfg.block_q, d), lambda b, h, qi, ki: (b, h, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hp, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hp, cfg.block_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
+                     memory_space=pltpu.VMEM),
     ]
     if has_sinks:
         # Per-Q-head sink logits, (heads,) fp32 — scalars, so SMEM.

@@ -381,15 +381,44 @@ def test_head_pack_validation():
     from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
     assert "hp2" in cfg.short_form()
     assert parse_short_form(cfg.short_form()) == cfg
-    # heads not divisible by head_pack
+
+
+def test_head_pack_degrades_to_fit_shape():
+    """An unfittable pack degrades instead of raising: under tensor-parallel
+    shard_map the per-device head count shrinks, and a model-level config
+    must keep working (and stay correct) on every shard."""
+    cfg = KernelConfig(block_q=128, block_kv=128, head_pack=2)
+    # heads=3: hp2 does not divide -> runs unpacked.
     q, k, v = generate_qkv(256, n_heads=3, batch=1, dtype=jnp.bfloat16)
-    with pytest.raises(ValueError, match="head_pack"):
-        flash_forward(q, k, v, cfg)
-    # GQA rejected
-    q4, _, _ = generate_qkv(256, n_heads=4, batch=1, dtype=jnp.bfloat16)
-    _, k2, v2 = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
-    with pytest.raises(NotImplementedError, match="GQA"):
-        flash_forward(q4, k2, v2, cfg)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"degraded pack (heads=3): {kerr:.3e} vs {berr:.3e}"
+    # heads=12, kv=4 (group=3): hp2 incompatible with the group -> unpacked.
+    q12, _, _ = generate_qkv(256, n_heads=12, batch=1, dtype=jnp.bfloat16)
+    _, k4, v4 = generate_qkv(256, n_heads=4, batch=1, dtype=jnp.bfloat16,
+                             seed=1)
+    out = flash_forward(q12, k4, v4, cfg)
+    ref_native, ref_fp32 = reference_pair(q12, k4, v4)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"degraded pack (group=3): {kerr:.3e} vs {berr:.3e}"
+
+
+@pytest.mark.parametrize("heads,kv_heads,hp", [(8, 2, 2), (8, 2, 4),
+                                               (8, 2, 8), (8, 4, 4)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_head_pack_gqa(heads, kv_heads, hp, causal):
+    """GQA group packing: packed Q heads share their group's KV tile."""
+    cfg = KernelConfig(block_q=128, block_kv=128, head_pack=hp,
+                       causal=causal)
+    q, _, _ = generate_qkv(256, n_heads=heads, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(256, n_heads=kv_heads, batch=1,
+                           dtype=jnp.bfloat16, seed=1)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, (f"gqa head_pack h{heads}/kv{kv_heads}/hp{hp} "
+                f"causal={causal}: {kerr:.3e} vs {berr:.3e}")
 
 
 @pytest.mark.parametrize("kv_loop", [KVLoop.GRID, KVLoop.FORI])
