@@ -129,11 +129,22 @@ class LlamaConfig:
                       # block 0 is visible, which a window breaks.
                       optimized_softmax=not window)
         bq = largest_divisor_block(self.block_q, 8)
-        if not training and seq_len >= 8192 and seq_len % 1024 == 0:
+        if not training and seq_len >= 4096 and seq_len % 1024 == 0:
             from ..ops.configs import KVLoop
 
+            # Group packing composes with the FORI walk (one shared KV DMA
+            # stream per packed group): on Llama 32/8-head shapes the
+            # packed FORI runs 102/123/137 TFLOP/s at seq 4096/8192/16384
+            # vs the best GRID's 83/74/80 — the GRID-vs-FORI crossover
+            # moves down to 4096 (profiles/causal_llama_hp_v5e.csv); 3 DMA
+            # buffers edge out 2. Training still takes the GRID branch
+            # (the saved-LSE backward path is GRID-only).
+            group = self.n_heads // self.n_kv_heads
+            hp = next((c for c in (4, 2)
+                       if self.n_heads % c == 0 and group % c == 0), 1)
             return KernelConfig(block_q=bq, block_kv=1024,
-                                kv_loop=KVLoop.FORI, **common)
+                                kv_loop=KVLoop.FORI, head_pack=hp,
+                                num_kv_buffers=3, **common)
         # Whole-seq KV single-shot softmax pays up to 4096 even causal
         # (79.0 vs 67.6 at seq 4096); past that the per-program predicated
         # DMA waste outgrows it and block_kv caps at the configured limit.

@@ -241,8 +241,6 @@ class KernelConfig:
                 raise ValueError("q_splits is implemented for the GRID kernel only")
         if self.head_pack < 1:
             raise ValueError("head_pack must be >= 1")
-        if self.head_pack > 1 and self.kv_loop == KVLoop.FORI:
-            raise ValueError("head_pack is implemented for the GRID kernel only")
 
     # Largest S/P fp32 tile the kernel should allocate: measured on v5e,
     # block (512, 16384) — a 32 MB tile — still wins (whole-sequence KV

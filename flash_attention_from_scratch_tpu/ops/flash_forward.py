@@ -538,7 +538,11 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  q_ref, k_hbm, v_hbm, o_ref,
                  k_buf, v_buf, sems, sinks_ref=None):
     bi = pl.program_id(0)
-    hi = pl.program_id(1) // group if group > 1 else pl.program_id(1)
+    hp = cfg.head_pack
+    # With head packing (GQA only: hp <= group, so ONE KV head serves the
+    # whole program — its blocks are DMA'd once instead of once per Q
+    # head), program p1 covers Q heads [p1*hp, (p1+1)*hp).
+    hi = (pl.program_id(1) * hp) // group if group > 1 else pl.program_id(1)
     qi = pl.program_id(2)
     # q_offset shifts every q row's global position (offset-causal:
     # chunked prefill over [prefix | chunk] KV); 0 = standard causal.
@@ -578,13 +582,15 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         )
         return k_dma, v_dma
 
-    q = q_ref[0, 0]
-    if cfg.scale_q:
-        c0 = (scale * LOG2E) if cfg.use_exp2 else scale
-        q = (q.astype(jnp.float32) * c0).astype(q.dtype)
+    qs = []
+    for g in range(hp):
+        qg = q_ref[0, g]
+        if cfg.scale_q:
+            c0 = (scale * LOG2E) if cfg.use_exp2 else scale
+            qg = (qg.astype(jnp.float32) * c0).astype(qg.dtype)
+        qs.append(qg)
 
-    def attend(slot, step, carry):
-        m, l, acc = carry
+    def attend_one(q, slot, step, m, l, acc):
         kv_start = kv_block_of(step) * cfg.block_kv
         if cfg.kv_splits > 1:
             return _attend_block_split(
@@ -597,6 +603,18 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         )
         return _attend_block(cfg, scale, s, v_buf[slot], q_span, kv_start,
                              m, l, acc)
+
+    def attend(slot, step, carry):
+        # Per-packed-head independent chains against the SHARED KV slot;
+        # Mosaic overlaps head g's VPU exp pass with head g+1's matmuls.
+        ms, ls, accs = carry
+        out_m, out_l, out_acc = [], [], []
+        for g in range(hp):
+            m, l, acc = attend_one(qs[g], slot, step, ms[g], ls[g], accs[g])
+            out_m.append(m)
+            out_l.append(l)
+            out_acc.append(acc)
+        return tuple(out_m), tuple(out_l), tuple(out_acc)
 
     if nbuf == 1:
         # Ladder step 1 "base": fully synchronous copies, no overlap
@@ -627,17 +645,23 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
             return attend(slot, step, carry)
 
     init = (
-        jnp.full((cfg.block_q, _STATS_LANES), MASK_VALUE, jnp.float32),
-        jnp.zeros((cfg.block_q, _STATS_LANES), jnp.float32),
-        jnp.zeros((cfg.block_q, cfg.d_head), jnp.float32),
+        tuple(jnp.full((cfg.block_q, _STATS_LANES), MASK_VALUE, jnp.float32)
+              for _ in range(hp)),
+        tuple(jnp.zeros((cfg.block_q, _STATS_LANES), jnp.float32)
+              for _ in range(hp)),
+        tuple(jnp.zeros((cfg.block_q, cfg.d_head), jnp.float32)
+              for _ in range(hp)),
     )
-    m, l, acc = jax.lax.fori_loop(0, n_steps, body, init)
-    if sinks_ref is not None:
-        acc, l_tot = _sink_merge(cfg, sinks_ref[pl.program_id(1)],
-                                 m[:, :1], l[:, :1], acc)
-        o_ref[0, 0] = (acc / l_tot).astype(o_ref.dtype)
-    else:
-        o_ref[0, 0] = (acc / l[:, :1]).astype(o_ref.dtype)
+    ms, ls, accs = jax.lax.fori_loop(0, n_steps, body, init)
+    for g in range(hp):
+        m, l, acc = ms[g], ls[g], accs[g]
+        if sinks_ref is not None:
+            acc, l_tot = _sink_merge(cfg,
+                                     sinks_ref[pl.program_id(1) * hp + g],
+                                     m[:, :1], l[:, :1], acc)
+            o_ref[0, g] = (acc / l_tot).astype(o_ref.dtype)
+        else:
+            o_ref[0, g] = (acc / l[:, :1]).astype(o_ref.dtype)
 
 
 def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
@@ -648,13 +672,25 @@ def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     d = cfg.d_head
     nbuf = max(cfg.num_kv_buffers, 1)
     group = heads // (kv_heads or heads)
+    hp = cfg.head_pack
+    if hp > 1:
+        # FORI packing shares the single manual KV DMA stream, so a
+        # program's packed Q heads must all read the SAME KV head:
+        # hp <= group with group % hp == 0 (GQA only). Degrade otherwise —
+        # see the GRID builder for why degrading beats raising.
+        while hp > 1 and (heads % hp or group % hp or hp > group):
+            hp //= 2
+        if hp != cfg.head_pack:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, head_pack=hp)
     kernel = (functools.partial(_fori_kernel_sinks, cfg, scale, num_kv, group)
               if has_sinks else
               functools.partial(_fori_kernel, cfg, scale, num_kv, group))
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     in_specs = [
-        pl.BlockSpec((1, 1, cfg.block_q, d), lambda b, h, qi: (b, h, qi, 0),
+        pl.BlockSpec((1, hp, cfg.block_q, d), lambda b, h, qi: (b, h, qi, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM, DMA'd manually
         pl.BlockSpec(memory_space=pl.ANY),  # V likewise
@@ -664,9 +700,9 @@ def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
 
     return pl.pallas_call(
         kernel,
-        grid=(batch, heads, num_q),
+        grid=(batch, heads // hp, num_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, cfg.block_q, d),
+        out_specs=pl.BlockSpec((1, hp, cfg.block_q, d),
                                lambda b, h, qi: (b, h, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype),

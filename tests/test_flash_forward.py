@@ -375,8 +375,6 @@ def test_head_pack_with_q_splits_lse():
 
 
 def test_head_pack_validation():
-    with pytest.raises(ValueError, match="GRID"):
-        KernelConfig(head_pack=2, kv_loop=KVLoop.FORI)
     cfg = KernelConfig(block_q=128, block_kv=128, head_pack=2)
     from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
     assert "hp2" in cfg.short_form()
@@ -402,6 +400,24 @@ def test_head_pack_degrades_to_fit_shape():
     ref_native, ref_fp32 = reference_pair(q12, k4, v4)
     ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
     assert ok, f"degraded pack (group=3): {kerr:.3e} vs {berr:.3e}"
+
+
+@pytest.mark.parametrize("hp", [2, 4])
+@pytest.mark.parametrize("causal,window", [(False, 0), (True, 0), (True, 200)])
+def test_head_pack_gqa_fori(hp, causal, window):
+    """FORI packing: one shared KV DMA stream serves the packed group."""
+    cfg = KernelConfig(block_q=128, block_kv=128, head_pack=hp,
+                       causal=causal, window=window, kv_loop=KVLoop.FORI,
+                       optimized_softmax=not window, num_kv_buffers=2)
+    q, _, _ = generate_qkv(512, n_heads=8, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16,
+                           seed=1)
+    out = flash_forward(q, k, v, cfg)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=causal,
+                                          window=window)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, (f"fori gqa hp{hp} causal={causal} window={window}: "
+                f"{kerr:.3e} vs {berr:.3e}")
 
 
 @pytest.mark.parametrize("heads,kv_heads,hp", [(8, 2, 2), (8, 2, 4),
