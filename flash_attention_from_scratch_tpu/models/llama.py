@@ -80,6 +80,11 @@ class LlamaConfig:
     # Attention scale override (Gemma-2 query_pre_attn_scalar**-0.5);
     # 0 = the standard 1/sqrt(d_head).
     attn_scale: float = 0.0
+    # GPT-OSS-style attention sinks: one learned logit per Q head per layer
+    # joins the softmax denominator (no value). Trains end-to-end: the
+    # forward LSE includes the sink term and d(sink) falls out of the FA2
+    # backward (ops/autodiff.py).
+    attn_sinks: bool = False
     # Llama-3.1-style RoPE frequency scaling for long context: wavelengths
     # beyond `rope_orig_ctx / rope_high_factor` are stretched, up to
     # `rope_scale_factor` x for wavelengths beyond `rope_orig_ctx /
@@ -221,6 +226,10 @@ def init_params(cfg: LlamaConfig, key) -> dict:
         if cfg.post_norms:
             layer["attn_post_norm"] = jnp.ones((cfg.dim,), dt)
             layer["mlp_post_norm"] = jnp.ones((cfg.dim,), dt)
+        if cfg.attn_sinks:
+            # fp32 like the kernel expects; zero-init = sink weight equal to
+            # an average pre-softmax logit (GPT-OSS initializes near zero).
+            layer["attn_sinks"] = jnp.zeros((cfg.n_heads,), jnp.float32)
         params["layers"].append(layer)
     return params
 
@@ -431,6 +440,10 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
         q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
     # GQA is native to the kernel: Q head h reads KV head h // group via the
     # BlockSpec index map, so K/V are never materialized at n_heads width.
+    if mesh is not None and layer.get("attn_sinks") is not None:
+        # The ring merge and the head-sharded wrapper don't thread the sink
+        # logit yet; refuse rather than silently train without it.
+        raise NotImplementedError("attn_sinks under mesh sharding")
     if mesh is not None and "sp" in mesh.axis_names:
         # Context parallelism: sequence shards stay resident, K/V rotate
         # around the ICI ring. Everything else in the layer is pointwise
@@ -446,7 +459,8 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
         out = shard_mapped_attention(q, k, v, cfg.attn_config(s, layer=li),
                                      mesh, interpret)
     else:
-        out = flash_attention(q, k, v, cfg.attn_config(s, layer=li), interpret)
+        out = flash_attention(q, k, v, cfg.attn_config(s, layer=li), interpret,
+                              layer.get("attn_sinks"))
     out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.n_heads * cfg.d_head)
     return _o_proj(layer, out)
 

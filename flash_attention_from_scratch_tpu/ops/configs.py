@@ -94,10 +94,19 @@ class KVLoop(enum.Enum):
     ``fori_loop`` and drives its own double-buffered ``make_async_copy``
     pipeline from HBM refs — the "hand-rolled" rung of the ladder, and the
     shape needed for causal early-exit and ring attention.
+
+    TRI (causal only): ONE flat ``arbitrary`` grid dimension enumerating
+    exactly the visible (q_block, kv_block) pairs, with scalar-prefetched
+    index maps (the pair -> block tables ride SMEM ahead of the grid).
+    Combines FORI's DMA frugality (above-diagonal blocks are never fetched)
+    with GRID's deep cross-program Pallas pipeline (no per-Q-block DMA
+    warmup, fixed cost amortized over the whole triangle) — the round-4
+    causal-throughput kernel.
     """
 
     GRID = "grid"
     FORI = "fori"
+    TRI = "tri"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,7 +154,6 @@ class KernelConfig:
     # Split-partials along Q rows: independent row sub-tiles inside one
     # program, each with its own scratch rows — same VPU/MXU overlap as
     # kv_splits but with zero merge cost (row stats never cross sub-tiles).
-    # GRID kernel only.
     q_splits: int = 1
     # Whole-head packing: one grid program carries `head_pack` heads, each
     # running its own fully-independent QK^T -> softmax -> PV chain on its
@@ -156,6 +164,15 @@ class KernelConfig:
     # a single (q, kv) shot whose serial chain leaves the MXU idle.
     # GRID kernel only; requires kv_heads == heads (no GQA).
     head_pack: int = 1
+
+    # Batch folding: dispatch reshapes (b, h, s, d) -> (1, b*h, s, d) before
+    # the kernel — a free relabeling (every (batch, head) slice is an
+    # independent attention problem; GQA group structure is preserved:
+    # (b*H + h) // group == b*H_kv + h // group). The point is head_pack:
+    # at short sequences the pack is capped by the per-sample head count,
+    # and folding lets it amortize the per-program fixed cost across BATCH
+    # elements too (the round-3 seq-512 rung was head-limited at hp16).
+    fold_batch: bool = False
 
     # Iteration order / pipelining.
     kv_loop: KVLoop = KVLoop.GRID
@@ -173,6 +190,16 @@ class KernelConfig:
     # (p - window, p]. 0 disables. Requires causal; KV blocks entirely
     # below the window are skipped (FORI: never visited; GRID: predicated).
     window: int = 0
+    # Mask elision: skip the iota+compare+select VPU pass on causal blocks
+    # that are fully visible (GRID: per-sub-tile pl.when dual-branch; FORI:
+    # the KV walk splits into masked-edge / clear-interior / masked-diagonal
+    # fori_loops). MEASURED A NET LOSS on v5e at Llama shapes — the branch
+    # duplication / loop splitting costs more than the mask pass saves when
+    # the per-program KV loop is only 1-4 blocks long (GRID champion 88 ->
+    # 55 TFLOP/s at seq 2048, FORI 76.6 -> 71.7; profiles/causal_llama
+    # round-4 probe) — so it defaults OFF and stays available for long-loop
+    # shapes where the arithmetic flips.
+    mask_elide: bool = False
     # Attention logit softcapping (Gemma-2): s -> cap * tanh(s / cap) on the
     # scaled scores, before masking. 0 disables. The tanh runs in whatever
     # log-base domain the kernel uses (the cap is co-scaled), so it composes
@@ -198,6 +225,11 @@ class KernelConfig:
             raise ValueError(
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
+            )
+        if self.kv_loop == KVLoop.TRI and not self.causal:
+            raise ValueError(
+                "kv_loop=TRI enumerates the causal triangle; use GRID for "
+                "non-causal shapes (the full rectangle has nothing to skip)"
             )
         if self.q_offset < 0:
             raise ValueError(f"q_offset must be >= 0: {self.q_offset}")
@@ -237,8 +269,6 @@ class KernelConfig:
                     f"{self.block_q} into sublane-aligned (multiple-of-"
                     f"{self.dtype.min_tile[0]}) sub-tiles"
                 )
-            if self.kv_loop == KVLoop.FORI:
-                raise ValueError("q_splits is implemented for the GRID kernel only")
         if self.head_pack < 1:
             raise ValueError("head_pack must be >= 1")
 
@@ -267,7 +297,8 @@ class KernelConfig:
     @classmethod
     def for_shape(cls, seq_q: int, seq_kv: int, *, preferred_q: int | None = None,
                   preferred_kv: int | None = None, heads: int | None = None,
-                  kv_heads: int | None = None, **kwargs) -> "KernelConfig":
+                  kv_heads: int | None = None, batch: int | None = None,
+                  **kwargs) -> "KernelConfig":
         """Best-known config clamped so the blocks tile (seq_q, seq_kv).
 
         Blocks shrink to the largest hardware-legal divisor of the sequence
@@ -312,10 +343,16 @@ class KernelConfig:
         hp = 1
         if ("head_pack" not in kwargs and grid and heads
                 and heads == (kv_heads or heads)):
+            # The measured pack (tbl_hp) may exceed the per-sample head
+            # count; batch folding relabels (b, h) -> b*h heads so the pack
+            # can amortize across batch elements too (the seq-512 lever).
+            pool = heads * (batch or 1)
             hp = next((c for c in (tbl_hp, tbl_hp // 2, tbl_hp // 4, 2)
-                       if 1 < c <= tbl_hp and heads % c == 0), 1)
+                       if 1 < c <= tbl_hp and pool % c == 0), 1)
             if hp > 1:
                 kwargs["head_pack"] = hp
+                if batch and batch > 1 and (heads % hp or hp > heads):
+                    kwargs.setdefault("fold_batch", True)
         if hp == 1 and tbl_hp > 1:
             # GQA / unknown-heads fallback: head packing was the bucket's
             # main overlap lever; the next best one is q_splits everywhere,
@@ -331,7 +368,19 @@ class KernelConfig:
         if ("q_splits" not in kwargs and grid and tbl_qs > 1
                 and bq % (tbl_qs * dtype.min_tile[0]) == 0):
             kwargs["q_splits"] = tbl_qs
-        return cls(block_q=bq, block_kv=bkv, **kwargs)
+        cfg = cls(block_q=bq, block_kv=bkv, **kwargs)
+        # The sweep-table packs were measured at d_head=128; at larger d_head
+        # the same pack can blow the VMEM model (e.g. d_head=256 with hp=16
+        # is ~100 MB vs the 64 MB limit — a compile-time failure on the
+        # auto-config path). Degrade only the pack: when even head_pack=1
+        # exceeds the model, the estimate is over-counting a measured-good
+        # whole-seq config, so leave those alone.
+        grp = heads // kv_heads if (heads and kv_heads) else 1
+        if (cfg.head_pack > 1 and not cfg.fits_vmem(grp)
+                and dataclasses.replace(cfg, head_pack=1).fits_vmem(grp)):
+            while cfg.head_pack > 1 and not cfg.fits_vmem(grp):
+                cfg = dataclasses.replace(cfg, head_pack=cfg.head_pack // 2)
+        return cfg
 
     # -- derived properties (analogue of smem_bytes / num_ctas_per_sm,
     #    flash_attention.cuh:54-65) ------------------------------------------
@@ -340,17 +389,24 @@ class KernelConfig:
     def resolved_out_dtype(self) -> DType:
         return self.out_dtype if self.out_dtype is not None else self.dtype
 
-    def vmem_bytes(self) -> int:
+    def vmem_bytes(self, group: int = 1) -> int:
         """Estimated VMEM working set of one grid step.
 
         Counts the Pallas pipeline's double-buffered input/output windows
         plus the fp32 accumulator and row-statistics scratch. TPU analogue of
         ``FlashForwardKernelConfig::smem_bytes()`` (``flash_attention.cuh:54-56``).
+
+        ``group`` is the GQA group size (q_heads // kv_heads): packed Q heads
+        share their group's KV tile, so the kernel holds only
+        ``max(1, head_pack // group)`` KV heads per block — charging KV at
+        ``head_pack`` would overestimate by up to the group factor and prune
+        GQA-packed configs that actually fit.
         """
         b = self.dtype.bytes
         hp = self.head_pack
+        kv_pack = max(1, hp // group) if group > 1 else hp
         q = hp * self.block_q * self.d_head * b * 2  # double-buffered by pipeline
-        kv = hp * 2 * self.block_kv * self.d_head * b * max(2, self.num_kv_buffers)
+        kv = kv_pack * 2 * self.block_kv * self.d_head * b * max(2, self.num_kv_buffers)
         out = hp * self.block_q * self.d_head * self.resolved_out_dtype.bytes * 2
         acc = hp * self.block_q * self.d_head * 4
         stats = 2 * hp * self.block_q * 128 * 4  # m and l, lane-broadcast fp32
@@ -365,8 +421,8 @@ class KernelConfig:
                     * self.block_q * (self.d_head + 2) * 4)
         return q + kv + out + acc + stats + p + partials
 
-    def fits_vmem(self) -> bool:
-        return self.vmem_bytes() <= self.vmem_limit_mb * 1024 * 1024
+    def fits_vmem(self, group: int = 1) -> bool:
+        return self.vmem_bytes(group) <= self.vmem_limit_mb * 1024 * 1024
 
     # -- canonical short form (analogue of short_form()/parsers,
     #    kernel_configs.py:125-146,177-335) ----------------------------------
@@ -391,6 +447,10 @@ class KernelConfig:
             flags.append(f"qs{self.q_splits}")
         if self.head_pack > 1:
             flags.append(f"hp{self.head_pack}")
+        if self.fold_batch:
+            flags.append("fb")
+        if self.mask_elide:
+            flags.append("me")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -416,7 +476,7 @@ class KernelConfig:
 
 _SHORT_RE = re.compile(
     r"fa_(?P<dtype>[a-z0-9]+)_q(?P<bq>\d+)_kv(?P<bkv>\d+)_d(?P<d>\d+)"
-    r"_(?P<loop>grid|fori)(?P<nbuf>\d+)_(?P<flags>[a-z0-9+]+)"
+    r"_(?P<loop>grid|fori|tri)(?P<nbuf>\d+)_(?P<flags>[a-z0-9+]+)"
 )
 
 
@@ -463,6 +523,8 @@ def parse_short_form(s: str) -> KernelConfig:
         fused_scale="fs" in flags,
         mxu_row_sum="ms" in flags,
         scale_q="sq" in flags,
+        fold_batch="fb" in flags,
+        mask_elide="me" in flags,
         reverse_kv="rk" in flags,
         causal="ca" in flags,
         kv_loop=KVLoop(m.group("loop")),

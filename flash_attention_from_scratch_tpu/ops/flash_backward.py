@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .configs import DType, KernelConfig
 from .flash_forward import LOG2E, _mm_precision
 
-__all__ = ["flash_backward", "make_flash_backward"]
+__all__ = ["flash_backward", "make_flash_backward",
+           "make_flash_backward_fused", "fused_backward_fits"]
 
 
 def _mask_pt(cfg, pt, q_span, kv_start):
@@ -255,6 +256,214 @@ def _dq_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused kernel: grid (batch, kv_heads, group, q_blocks, kv_blocks).
+#
+# One shared S^T recompute feeds dQ, dK, AND dV — 5 MXU matmuls per
+# (Q, KV) tile pair (S^T, dP^T, dV, dK, dQ) instead of the split kernels'
+# 7 (each recomputes S^T and dP^T independently). The split layout caps
+# backward throughput at 5/7 = 71% of the matmul ceiling even at perfect
+# MXU utilization — which is exactly where round 3 measured it (72.9%,
+# profiles/backward_v5e.csv); fusing removes that cap.
+#
+# The fusion trick on TPU: all grid steps of one (batch, kv_head) run
+# sequentially on a core, so dK/dV accumulate across the WHOLE (group x
+# q_blocks x kv_blocks) sweep in a persistent (seq_kv, d) fp32 VMEM scratch,
+# while dQ accumulates per (g, qi) sweep in a (block_q, d) scratch exactly
+# like the split dQ kernel. dK/dV blocks stream out only during the final
+# (g, qi) sweep — the output index map parks on block 0 until then, so no
+# partial/garbage windows are ever flushed over real data.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(cfg: KernelConfig, scale: float, num_q: int, num_kv: int,
+                  group: int,
+                  q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                  dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc):
+    g = pl.program_id(2)
+    qi = pl.program_id(3)
+    kj = pl.program_id(4)
+
+    q_row = qi * cfg.block_q
+    q_span = q_row + cfg.q_offset
+    kv_start = kj * cfg.block_kv
+
+    @pl.when(jnp.logical_and(jnp.logical_and(g == 0, qi == 0), kj == 0))
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    @pl.when(kj == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    visible = True
+    if cfg.causal:
+        visible = _block_visible(cfg, q_span, kv_start)
+
+    def compute():
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        # Sub-tile the Q rows (cfg.q_splits): independent recompute -> dS
+        # chains (VPU) interleave with the next sub-tile's matmuls (MXU),
+        # accumulating into the shared dq/dk/dv scratch.
+        sub = cfg.block_q // cfg.q_splits
+        for i in range(cfg.q_splits):
+            rows = slice(i * sub, (i + 1) * sub)
+            q = q_ref[0, 0][rows]
+            do = do_ref[0, 0][rows]
+            lse_row = lse_ref[0, 0, :, pl.ds(q_row + i * sub, sub)]
+            d_row = dsum_ref[0, 0, :, pl.ds(q_row + i * sub, sub)]
+
+            pt, dcap = _recompute_pt(cfg, scale, q, k, lse_row,
+                                     q_span + i * sub, kv_start)
+            pt_mm = pt.astype(cfg.dtype.jnp_dtype)
+            kv_rows = pl.ds(kv_start, cfg.block_kv)
+            # dV_j += P^T dO  (the recompute is shared from here on)
+            dv_acc[kv_rows, :] += jax.lax.dot_general(
+                pt_mm, do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
+            dst = _dst_tile(cfg, scale, pt, dcap, v, do, d_row)
+            # dK_j += (dS^T * scale) Q
+            dk_acc[kv_rows, :] += jax.lax.dot_general(
+                dst, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
+            # dQ_i += dS K — contract dS^T's KV dim (dim 0 of both) on the
+            # MXU directly; the tile never transposes back to (q, kv) space.
+            dq_acc[rows, :] += jax.lax.dot_general(
+                dst, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(cfg),
+            )
+
+    if cfg.causal:
+        @pl.when(visible)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kj == num_kv - 1)
+    def _():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+    # During the final (g, qi) sweep, step kj adds the last contribution to
+    # KV block kj — stream it out the same step (unconditionally: a window
+    # or the diagonal can hide this (qi, kj) pair, but the block's total is
+    # complete regardless).
+    @pl.when(jnp.logical_and(g == group - 1, qi == num_q - 1))
+    def _():
+        kv_rows = pl.ds(kv_start, cfg.block_kv)
+        dk_ref[0, 0] = dk_acc[kv_rows, :].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[kv_rows, :].astype(dv_ref.dtype)
+
+
+def make_flash_backward_fused(cfg: KernelConfig, batch: int, heads: int,
+                              seq_q: int, seq_kv: int, kv_heads: int,
+                              scale: float, interpret: bool,
+                              block_q: int | None = None,
+                              block_kv: int | None = None,
+                              splits: int | None = None):
+    """Build the fused (dq, dk, dv) pallas_call for one shape.
+
+    Tile defaults come from the round-4 v5e chain-timed sweep (fused tiles
+    want to be smaller than the split kernels' 2048 cap: the five live
+    matmul operands per pair square the VMEM pressure). The (seq_kv, d)
+    fp32 dK/dV accumulators bound applicability — the dispatcher falls back
+    to the split kernels when they outgrow VMEM (see ``flash_backward``).
+    """
+    bq = block_q or min(1024, seq_q)
+    bkv = block_kv or min(1024, seq_kv)
+    while seq_q % bq:
+        bq //= 2
+    while seq_kv % bkv:
+        bkv //= 2
+    q_splits = splits or 1
+    if bq % q_splits or (bq // q_splits) % 128:
+        q_splits = 1
+    bcfg = KernelConfig(
+        block_q=bq, block_kv=bkv, d_head=cfg.d_head, dtype=cfg.dtype,
+        causal=cfg.causal, use_exp2=True, q_offset=cfg.q_offset,
+        window=cfg.window, attn_softcap=cfg.attn_softcap, q_splits=q_splits,
+        optimized_softmax=not cfg.window,
+    )
+    num_q = seq_q // bq
+    num_kv = seq_kv // bkv
+    d = cfg.d_head
+    group = heads // kv_heads
+    in_dtype = cfg.dtype.jnp_dtype
+
+    def q_idx(b, hk, g, qi, kj):
+        h = hk * group + g if group > 1 else hk
+        return (b, h, qi, 0)
+
+    def kv_idx(b, hk, g, qi, kj):
+        return (b, hk, kj, 0)
+
+    def row_idx(b, hk, g, qi, kj):
+        h = hk * group + g if group > 1 else hk
+        return (b, h, 0, 0)
+
+    def dkv_idx(b, hk, g, qi, kj):
+        # Park on block 0 until the final (g, qi) sweep: the window never
+        # moves, so no partial accumulations are flushed over real data;
+        # during the last sweep it walks kj and streams each finished block.
+        last = jnp.logical_and(g == group - 1, qi == num_q - 1)
+        return (b, hk, jnp.where(last, kj, 0), 0)
+
+    row_spec = pl.BlockSpec((1, 1, 1, seq_q), row_idx, memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        functools.partial(_fused_kernel, bcfg, scale, num_q, num_kv, group),
+        grid=(batch, kv_heads, group, num_q, num_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), q_idx, memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), q_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), dkv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bkv, d), dkv_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, heads, seq_q, d), in_dtype),
+            jax.ShapeDtypeStruct((batch, kv_heads, seq_kv, d), in_dtype),
+            jax.ShapeDtypeStruct((batch, kv_heads, seq_kv, d), in_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),      # dQ per (g, qi) sweep
+            pltpu.VMEM((seq_kv, d), jnp.float32),  # dK whole-sequence
+            pltpu.VMEM((seq_kv, d), jnp.float32),  # dV whole-sequence
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def fused_backward_fits(seq_kv: int, d_head: int,
+                        vmem_limit_mb: int = 64) -> bool:
+    """Do the whole-sequence dK/dV accumulators leave room for the tiles?
+
+    Budget: the two (seq_kv, d) fp32 accumulators at <= half the VMEM
+    limit, leaving the other half for the pipeline windows and the live
+    S^T/dS^T tiles. At d_head=128 that admits seq_kv <= 32768.
+    """
+    return 2 * seq_kv * d_head * 4 <= vmem_limit_mb * 1024 * 1024 // 2
+
+
+# ---------------------------------------------------------------------------
 # Builders.
 # ---------------------------------------------------------------------------
 
@@ -393,9 +602,14 @@ def make_flash_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
 
 @functools.lru_cache(maxsize=256)
 def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
-                     seq_kv: int, kv_heads: int, scale: float, interpret: bool):
-    dq_call, dkv_call = make_flash_backward(
-        cfg, batch, heads, seq_q, seq_kv, kv_heads, scale, interpret)
+                     seq_kv: int, kv_heads: int, scale: float, interpret: bool,
+                     fused: bool):
+    if fused:
+        fused_call = make_flash_backward_fused(
+            cfg, batch, heads, seq_q, seq_kv, kv_heads, scale, interpret)
+    else:
+        dq_call, dkv_call = make_flash_backward(
+            cfg, batch, heads, seq_q, seq_kv, kv_heads, scale, interpret)
 
     def run(q, k, v, o, lse, do):
         # The cotangent arrives in out_dtype; the kernels matmul it against
@@ -406,6 +620,8 @@ def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
         # kernels slice per-block windows without relayout.
         lse_r = lse[:, :, None, :]
         dsum_r = dsum[:, :, None, :]
+        if fused:
+            return fused_call(q, k, v, do, lse_r, dsum_r)
         dq = dq_call(q, k, v, do, lse_r, dsum_r)
         dk, dv = dkv_call(q, k, v, do, lse_r, dsum_r)
         return dq, dk, dv
@@ -414,12 +630,19 @@ def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
 
 
 def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
-                   scale: float | None = None, interpret: bool | None = None):
+                   scale: float | None = None, interpret: bool | None = None,
+                   fused: bool | None = None):
     """Gradients (dq, dk, dv) of ``flash_forward`` from saved (O, LSE).
 
     Inputs mirror the forward: q (b, h, s_q, d), k/v (b, h_kv, s_kv, d); ``o``
     is the forward output and ``lse`` the residual from
     :func:`flash_forward_with_lse`; ``do`` is the output cotangent.
+
+    ``fused`` selects the single-kernel path (one shared S^T recompute for
+    dq/dk/dv — 5 matmuls per tile pair vs the split kernels' 7). Default:
+    fused whenever the whole-sequence dK/dV accumulators fit VMEM
+    (:func:`fused_backward_fits`); the split kernels remain the long-context
+    fallback.
     """
     if cfg is None:
         cfg = KernelConfig.for_shape(
@@ -430,6 +653,8 @@ def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if fused is None:
+        fused = fused_backward_fits(k.shape[2], cfg.d_head, cfg.vmem_limit_mb)
     fn = _cached_backward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
-                          k.shape[1], float(scale), interpret)
+                          k.shape[1], float(scale), interpret, bool(fused))
     return fn(q, k, v, o, lse, do)

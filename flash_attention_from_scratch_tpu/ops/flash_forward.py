@@ -75,17 +75,21 @@ def _sink_merge(cfg: KernelConfig, z, m_col, l_col, acc):
     whose row max is ``z`` and whose PV contribution is zero. ``z`` is the
     raw logit (never multiplied by the softmax scale); the running stats
     live in the log2 domain under ``use_exp2``, so the sink co-scales.
-    Returns (rescaled acc, total denominator).
+    Returns (rescaled acc, total denominator, total max) — the (l, m) pair
+    after the merge, so the LSE residual written for the backward pass
+    includes the sink term (d(sink) then falls out of the standard FA2
+    backward, see ops/autodiff.py).
     """
     exp_fn = jnp.exp2 if cfg.use_exp2 else jnp.exp
     zc = z * LOG2E if cfg.use_exp2 else z
     m_tot = jnp.maximum(m_col, zc)
     alpha = exp_fn(m_col - m_tot)
     l_tot = l_col * alpha + exp_fn(zc - m_tot)
-    return acc * alpha, l_tot
+    return acc * alpha, l_tot, m_tot
 
 
-def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_prev, l_prev, acc_prev):
+def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start,
+                  m_prev, l_prev, acc_prev, mask: bool | None = None):
     """One online-softmax update given the raw S tile (fp32).
 
     Inputs/outputs are values (not refs): shared by both kernel variants.
@@ -93,6 +97,12 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
     (block_q, d_head); ``s`` is (block_q, block_kv).
     Returns (m_new, l_new, acc_new). ``m_prev`` may be None, meaning "first
     visible block" (the ladder-step-10 specialization: no rescale).
+
+    ``mask`` overrides ``cfg.causal`` for this tile (default: follow the
+    config): interior blocks of a causal walk — entirely below the diagonal
+    and above every row's window — are fully visible, so the caller elides
+    the iota+compare+select VPU pass over the S tile for them and only
+    diagonal/window-edge blocks pay it.
 
     Running statistics are kept in the *scaled* domain regardless of
     ``fused_scale``, so the rescale math is identical for both paths.
@@ -114,7 +124,7 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
         capf = cfg.attn_softcap * (LOG2E if cfg.use_exp2 else 1.0)
         s = jnp.tanh(s / capf) * capf
 
-    if cfg.causal:
+    if cfg.causal if mask is None else mask:
         q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         k_pos = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         keep = q_pos >= k_pos
@@ -159,7 +169,8 @@ def _attend_block(cfg: KernelConfig, scale: float, s, v, q_span, kv_start, m_pre
 
 
 def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
-                        q_span, kv_start, m_prev, l_prev, acc_prev):
+                        q_span, kv_start, m_prev, l_prev, acc_prev,
+                        mask: bool | None = None):
     """Split-partials online-softmax update over one KV block.
 
     The KV block is cut into ``cfg.kv_splits`` sub-tiles; each computes a
@@ -172,7 +183,9 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
     precomputed S tile: the per-sub-tile matmuls are the point.
 
     Q must already carry the softmax scale when ``cfg.scale_q``; running
-    statistics stay in the scaled domain exactly as in :func:`_attend_block`.
+    statistics stay in the scaled domain exactly as in :func:`_attend_block`,
+    and ``mask`` overrides ``cfg.causal`` the same way (mask elision on
+    fully-visible interior blocks).
     """
     n = cfg.kv_splits
     sub = k.shape[0] // n
@@ -195,7 +208,7 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
         if cfg.attn_softcap:
             capf = cfg.attn_softcap * (LOG2E if cfg.use_exp2 else 1.0)
             s = jnp.tanh(s / capf) * capf
-        if cfg.causal:
+        if cfg.causal if mask is None else mask:
             q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = (kv_start + i * sub
                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
@@ -252,20 +265,20 @@ def _attend_block_split(cfg: KernelConfig, scale: float, q, k, v,
 # ---------------------------------------------------------------------------
 
 
-def _grid_kernel_with_lse(cfg, scale, num_kv, group,
-                          q_ref, k_ref, v_ref, o_ref, lse_ref,
-                          acc_ref, m_ref, l_ref):
-    """Ref-order shim: pallas passes outputs before scratch."""
-    _grid_kernel(cfg, scale, num_kv, group, q_ref, k_ref, v_ref, o_ref,
-                 acc_ref, m_ref, l_ref, lse_ref=lse_ref)
+def _grid_entry(cfg, scale, num_kv, group, has_sinks, return_lse, *refs):
+    """Ref-order shim: pallas passes inputs, then outputs, then scratch.
 
-
-def _grid_kernel_sinks(cfg, scale, num_kv, group,
-                       q_ref, k_ref, v_ref, sinks_ref, o_ref,
-                       acc_ref, m_ref, l_ref):
-    """Ref-order shim: the sinks input follows v in the in_specs."""
+    Inputs are (q, k, v[, sinks]); outputs (o[, lse]); scratch (acc, m, l).
+    """
+    q_ref, k_ref, v_ref = refs[:3]
+    i = 3
+    sinks_ref = refs[i] if has_sinks else None
+    i += 1 if has_sinks else 0
+    o_ref = refs[i]
+    lse_ref = refs[i + 1] if return_lse else None
+    acc_ref, m_ref, l_ref = refs[-3:]
     _grid_kernel(cfg, scale, num_kv, group, q_ref, k_ref, v_ref, o_ref,
-                 acc_ref, m_ref, l_ref, sinks_ref=sinks_ref)
+                 acc_ref, m_ref, l_ref, lse_ref=lse_ref, sinks_ref=sinks_ref)
 
 
 def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
@@ -273,6 +286,10 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  lse_ref=None, sinks_ref=None):
     kv_step = pl.program_id(3)
     qi = pl.program_id(2)
+    # Hoisted: pl.program_id must be CALLED at kernel top level — inside a
+    # pl.when body the interpret-mode lowering can't resolve it (the value,
+    # a traced scalar, is free to cross into the branch).
+    head0 = pl.program_id(1) * cfg.head_pack
     is_first = kv_step == 0
     is_last = kv_step == num_kv - 1
 
@@ -327,53 +344,79 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                 q = q_full[i * sub:(i + 1) * sub]
                 sub_span = q_span + i * sub
 
-                if cfg.kv_splits > 1:
-                    def attend(m, l, acc, q=q, v=v, k=k, sub_span=sub_span):
-                        return _attend_block_split(
-                            cfg, scale, q, k, v, sub_span, kv_start, m, l, acc
-                        )
-                else:
-                    s = jax.lax.dot_general(
-                        q, k, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_mm_precision(cfg),
-                    )
-
-                    def attend(m, l, acc, s=s, v=v, sub_span=sub_span):
-                        return _attend_block(
-                            cfg, scale, s, v, sub_span, kv_start, m, l, acc
+                def run(mask, q=q, v=v, k=k, sub_span=sub_span, rows=rows):
+                    if cfg.kv_splits > 1:
+                        def attend(m, l, acc):
+                            return _attend_block_split(
+                                cfg, scale, q, k, v, sub_span, kv_start,
+                                m, l, acc, mask=mask)
+                    else:
+                        s = jax.lax.dot_general(
+                            q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_mm_precision(cfg),
                         )
 
-                if cfg.optimized_softmax:
-                    @pl.when(is_first)
-                    def _(attend=attend, rows=rows):
-                        m, l, acc = attend(None, None, None)
-                        m_ref[rows, :] = m
-                        l_ref[rows, :] = l
-                        acc_ref[rows, :] = acc
+                        def attend(m, l, acc):
+                            return _attend_block(
+                                cfg, scale, s, v, sub_span, kv_start,
+                                m, l, acc, mask=mask)
 
-                    @pl.when(jnp.logical_not(is_first))
-                    def _(attend=attend, rows=rows):
+                    if cfg.optimized_softmax:
+                        @pl.when(is_first)
+                        def _():
+                            m, l, acc = attend(None, None, None)
+                            m_ref[rows, :] = m
+                            l_ref[rows, :] = l
+                            acc_ref[rows, :] = acc
+
+                        @pl.when(jnp.logical_not(is_first))
+                        def _():
+                            m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                               acc_ref[rows, :])
+                            m_ref[rows, :] = m
+                            l_ref[rows, :] = l
+                            acc_ref[rows, :] = acc
+                    else:
+                        @pl.when(is_first)
+                        def _():
+                            m_ref[rows, :] = jnp.full((sub, _STATS_LANES),
+                                                      MASK_VALUE, jnp.float32)
+                            l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES),
+                                                       jnp.float32)
+                            acc_ref[rows, :] = jnp.zeros(
+                                (sub, acc_ref.shape[1]), jnp.float32)
+
                         m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
                                            acc_ref[rows, :])
                         m_ref[rows, :] = m
                         l_ref[rows, :] = l
                         acc_ref[rows, :] = acc
-                else:
-                    @pl.when(is_first)
-                    def _(rows=rows):
-                        m_ref[rows, :] = jnp.full((sub, _STATS_LANES),
-                                                  MASK_VALUE, jnp.float32)
-                        l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES),
-                                                   jnp.float32)
-                        acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
-                                                     jnp.float32)
 
-                    m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
-                                       acc_ref[rows, :])
-                    m_ref[rows, :] = m
-                    l_ref[rows, :] = l
-                    acc_ref[rows, :] = acc
+                if cfg.causal and cfg.mask_elide:
+                    # Mask elision: a block entirely below this sub-tile's
+                    # diagonal (and, with a window, above every row's lower
+                    # edge) is fully visible — skip the iota+compare+select
+                    # VPU pass over its S tile; only diagonal/window-edge
+                    # blocks pay it. Both branches specialize the same
+                    # scratch-update code on the static `mask` flag.
+                    # Opt-in (see configs.KernelConfig.mask_elide): measured
+                    # a net LOSS at Llama shapes on v5e.
+                    full_vis = kv_start + cfg.block_kv - 1 <= sub_span
+                    if cfg.window:
+                        full_vis = jnp.logical_and(
+                            full_vis,
+                            kv_start >= sub_span + sub - cfg.window)
+
+                    @pl.when(full_vis)
+                    def _(run=run):
+                        run(False)
+
+                    @pl.when(jnp.logical_not(full_vis))
+                    def _(run=run):
+                        run(True)
+                else:
+                    run(cfg.causal)
 
     if cfg.causal:
         if cfg.window:
@@ -401,21 +444,19 @@ def _grid_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         # Final normalization (ref softmax.cuh:107-128) + downcast + store.
         for g in range(cfg.head_pack):
             rows = slice(g * cfg.block_q, (g + 1) * cfg.block_q)
+            m_col = m_ref[rows, :1]
+            l_col = l_ref[rows, :1]
+            acc = acc_ref[rows, :]
             if sinks_ref is not None:
-                h = pl.program_id(1) * cfg.head_pack + g
-                acc_s, l_tot = _sink_merge(cfg, sinks_ref[h],
-                                           m_ref[rows, :1], l_ref[rows, :1],
-                                           acc_ref[rows, :])
-                o_ref[0, g] = (acc_s / l_tot).astype(o_ref.dtype)
-            else:
-                o_ref[0, g] = (acc_ref[rows, :]
-                               / l_ref[rows, :1]).astype(o_ref.dtype)
+                acc, l_col, m_col = _sink_merge(cfg, sinks_ref[head0 + g],
+                                                m_col, l_col, acc)
+            o_ref[0, g] = (acc / l_col).astype(o_ref.dtype)
             if lse_ref is not None:
                 # Natural-log row log-sum-exp of the *scaled* scores — the
-                # backward pass residual. Running stats live in log2 domain
-                # when use_exp2; one ln(2) multiply converts.
-                m_col = m_ref[rows, :1]
-                l_col = l_ref[rows, :1]
+                # backward pass residual (sink term included when present,
+                # so the recomputed P sums to 1 - sink_weight as it should).
+                # Running stats live in log2 domain when use_exp2; one ln(2)
+                # multiply converts.
                 if cfg.use_exp2:
                     lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
                 else:
@@ -463,10 +504,8 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
         return (b, (h * hp) // (group * kv_pack), blk, 0)
 
     grid = (batch, heads // hp, num_q, num_kv)
-    kernel = (functools.partial(_grid_kernel_sinks, cfg, scale, num_kv,
-                                group)
-              if has_sinks else
-              functools.partial(_grid_kernel, cfg, scale, num_kv, group))
+    kernel = functools.partial(_grid_entry, cfg, scale, num_kv, group,
+                               has_sinks, return_lse)
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     out_specs = pl.BlockSpec((1, hp, cfg.block_q, d),
@@ -474,8 +513,6 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
     if return_lse:
-        kernel = functools.partial(_grid_kernel_with_lse, cfg, scale, num_kv,
-                                   group)
         out_specs = (out_specs,
                      pl.BlockSpec((1, hp, cfg.block_q, 1),
                                   lambda b, h, qi, ki: (b, h, qi, 0),
@@ -522,21 +559,266 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
 
 
 # ---------------------------------------------------------------------------
-# FORI variant: one grid step per Q block; hand-rolled KV DMA pipeline.
+# TRI variant (causal only): one flat `arbitrary` grid dimension enumerating
+# exactly the visible (q_block, kv_block) pairs; pair -> block tables ride
+# SMEM via scalar prefetch so the Pallas pipeline prefetches the next
+# visible KV block while the current pair computes.
+#
+# Why a third kernel: GRID's rectangular grid DMAs every above-diagonal
+# block it predicates away (~2x KV traffic and ~2x grid steps for plain
+# causal), while FORI's per-program fori_loop walk is only 1-4 blocks long
+# at model shapes — too short to hide the pipeline warmup, and its fixed
+# cost is paid per Q block. The triangle enumeration gives both halves:
+# only visible blocks are ever fetched, and the pipeline runs the whole
+# triangle as one deep stream.
 # ---------------------------------------------------------------------------
 
 
-def _fori_kernel_sinks(cfg, scale, num_kv, group,
-                       q_ref, k_hbm, v_hbm, sinks_ref, o_ref,
-                       k_buf, v_buf, sems):
-    """Ref-order shim: the sinks input follows v in the in_specs."""
+def _tri_entry(cfg, scale, group, has_sinks, return_lse, *refs):
+    """Ref order: scalar prefetch (qi, ki, first, last), inputs, outputs,
+    scratch."""
+    qi_ref, ki_ref, first_ref, last_ref = refs[:4]
+    q_ref, k_ref, v_ref = refs[4:7]
+    i = 7
+    sinks_ref = refs[i] if has_sinks else None
+    i += 1 if has_sinks else 0
+    o_ref = refs[i]
+    lse_ref = refs[i + 1] if return_lse else None
+    acc_ref, m_ref, l_ref = refs[-3:]
+
+    p = pl.program_id(2)
+    head0 = pl.program_id(1) * cfg.head_pack
+    qi = qi_ref[p]
+    kv_start = ki_ref[p] * cfg.block_kv
+    is_first = first_ref[p] == 1
+    is_last = last_ref[p] == 1
+    q_span = qi * cfg.block_q + cfg.q_offset
+
+    for g in range(cfg.head_pack):
+        q_full = q_ref[0, g]
+        if cfg.scale_q:
+            c = (scale * LOG2E) if cfg.use_exp2 else scale
+            q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
+        k = k_ref[0, g // group]
+        v = v_ref[0, g // group]
+        base = g * cfg.block_q
+
+        sub = cfg.block_q // cfg.q_splits
+        for i2 in range(cfg.q_splits):
+            rows = slice(base + i2 * sub, base + (i2 + 1) * sub)
+            q = q_full[i2 * sub:(i2 + 1) * sub]
+            sub_span = q_span + i2 * sub
+
+            if cfg.kv_splits > 1:
+                def attend(m, l, acc, q=q, k=k, v=v, sub_span=sub_span):
+                    return _attend_block_split(
+                        cfg, scale, q, k, v, sub_span, kv_start, m, l, acc)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mm_precision(cfg),
+                )
+
+                def attend(m, l, acc, s=s, v=v, sub_span=sub_span):
+                    return _attend_block(
+                        cfg, scale, s, v, sub_span, kv_start, m, l, acc)
+
+            if cfg.optimized_softmax:
+                @pl.when(is_first)
+                def _(attend=attend, rows=rows):
+                    m, l, acc = attend(None, None, None)
+                    m_ref[rows, :] = m
+                    l_ref[rows, :] = l
+                    acc_ref[rows, :] = acc
+
+                @pl.when(jnp.logical_not(is_first))
+                def _(attend=attend, rows=rows):
+                    m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                       acc_ref[rows, :])
+                    m_ref[rows, :] = m
+                    l_ref[rows, :] = l
+                    acc_ref[rows, :] = acc
+            else:
+                @pl.when(is_first)
+                def _(rows=rows):
+                    m_ref[rows, :] = jnp.full((sub, _STATS_LANES),
+                                              MASK_VALUE, jnp.float32)
+                    l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES),
+                                               jnp.float32)
+                    acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
+                                                 jnp.float32)
+
+                m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
+                                   acc_ref[rows, :])
+                m_ref[rows, :] = m
+                l_ref[rows, :] = l
+                acc_ref[rows, :] = acc
+
+    @pl.when(is_last)
+    def _():
+        for g in range(cfg.head_pack):
+            rows = slice(g * cfg.block_q, (g + 1) * cfg.block_q)
+            m_col = m_ref[rows, :1]
+            l_col = l_ref[rows, :1]
+            acc = acc_ref[rows, :]
+            if sinks_ref is not None:
+                acc, l_col, m_col = _sink_merge(cfg, sinks_ref[head0 + g],
+                                                m_col, l_col, acc)
+            o_ref[0, g] = (acc / l_col).astype(o_ref.dtype)
+            if lse_ref is not None:
+                if cfg.use_exp2:
+                    lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
+                else:
+                    lse = m_col + jnp.log(l_col)
+                lse_ref[0, g] = lse
+
+
+def _tri_pairs(cfg: KernelConfig, num_q: int, num_kv: int):
+    """Static enumeration of visible (q_block, kv_block) pairs, row-major.
+
+    Row-major (qi outer, ki ascending) keeps the output window parked on
+    one Q block until its row completes — exactly one flush per row.
+    Sliding windows shrink each row from below, offset-causal shifts the
+    diagonal. Returns four int32 NUMPY arrays (qi, ki, first-in-row,
+    last-in-row) — plain host constants, NOT jnp arrays: the builder's
+    closure is lru-cached across jit traces, and a jnp.asarray created
+    inside one trace would leak its tracer into the next.
+    """
+    import numpy as _np
+
+    qi_l, ki_l, first_l, last_l = [], [], [], []
+    for qi in range(num_q):
+        q_span = qi * cfg.block_q + cfg.q_offset
+        last_excl = min((q_span + cfg.block_q + cfg.block_kv - 1)
+                        // cfg.block_kv, num_kv)
+        first = (max(q_span - cfg.window + 1, 0) // cfg.block_kv
+                 if cfg.window else 0)
+        ks = list(range(first, max(last_excl, first + 1)))
+        for j, ki in enumerate(ks):
+            qi_l.append(qi)
+            ki_l.append(ki)
+            first_l.append(1 if j == 0 else 0)
+            last_l.append(1 if j == len(ks) - 1 else 0)
+
+    return (_np.array(qi_l, _np.int32), _np.array(ki_l, _np.int32),
+            _np.array(first_l, _np.int32), _np.array(last_l, _np.int32))
+
+
+def _build_tri_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
+                    seq_q: int, seq_kv: int, interpret: bool,
+                    debug: bool = False, kv_heads: int | None = None,
+                    return_lse: bool = False, has_sinks: bool = False):
+    if not cfg.causal:
+        raise ValueError("TRI kernel is causal-only")
+    num_q = seq_q // cfg.block_q
+    num_kv = seq_kv // cfg.block_kv
+    d = cfg.d_head
+    hp = cfg.head_pack
+    group = heads // (kv_heads or heads)
+    if hp > 1:
+        # Same degrade rule as GRID: packed Q heads must cover whole KV
+        # heads so the shared KV tile stays index-map addressable.
+        while hp > 1 and (heads % hp
+                          or (group > 1 and group % hp and hp % group)):
+            hp //= 2
+        if hp != cfg.head_pack:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, head_pack=hp)
+    kv_pack = max(1, hp // group)
+    qi_arr, ki_arr, first_arr, last_arr = _tri_pairs(cfg, num_q, num_kv)
+    n_pairs = int(qi_arr.shape[0])
+
+    def q_index(b, h, p, qi_r, ki_r, f_r, l_r):
+        return (b, h, qi_r[p], 0)
+
+    def kv_index(b, h, p, qi_r, ki_r, f_r, l_r):
+        return (b, (h * hp) // (group * kv_pack), ki_r[p], 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hp, cfg.block_q, d), q_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    out_dtype = cfg.resolved_out_dtype.jnp_dtype
+    out_specs = pl.BlockSpec((1, hp, cfg.block_q, d), q_index,
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
+    if return_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, hp, cfg.block_q, 1), q_index,
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((batch, heads, seq_q, 1),
+                                          jnp.float32))
+
+    kernel = functools.partial(_tri_entry, cfg, scale, group, has_sinks,
+                               return_lse)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(batch, heads // hp, n_pairs),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((hp * cfg.block_q, d), jnp.float32),
+            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),
+            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # Visible pairs only: the whole point of the enumeration.
+            flops=int(batch * heads * (4 * d + 6)
+                      * (seq_q * (seq_q + 1) // 2)),
+            bytes_accessed=(batch * heads * 2 * seq_q * d * cfg.dtype.bytes
+                            + batch * (heads // hp) * kv_pack * n_pairs
+                            * 2 * cfg.block_kv * d * cfg.dtype.bytes),
+            transcendentals=batch * heads * seq_q * seq_q // 2,
+        ),
+        interpret=interpret,
+        debug=debug,
+    )
+
+    def run(q, k, v, *extra):
+        return call(qi_arr, ki_arr, first_arr, last_arr, q, k, v, *extra)
+
+    return run
+
+
+def _fori_entry(cfg, scale, num_kv, group, has_sinks, return_lse, *refs):
+    """Ref-order shim: pallas passes inputs, then outputs, then scratch.
+
+    Inputs are (q, k_hbm, v_hbm[, sinks]); outputs (o[, lse]); scratch
+    (k_buf, v_buf, sems).
+    """
+    q_ref, k_hbm, v_hbm = refs[:3]
+    i = 3
+    sinks_ref = refs[i] if has_sinks else None
+    i += 1 if has_sinks else 0
+    o_ref = refs[i]
+    lse_ref = refs[i + 1] if return_lse else None
+    k_buf, v_buf, sems = refs[-3:]
     _fori_kernel(cfg, scale, num_kv, group, q_ref, k_hbm, v_hbm, o_ref,
-                 k_buf, v_buf, sems, sinks_ref=sinks_ref)
+                 k_buf, v_buf, sems, sinks_ref=sinks_ref, lse_ref=lse_ref)
 
 
 def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
                  q_ref, k_hbm, v_hbm, o_ref,
-                 k_buf, v_buf, sems, sinks_ref=None):
+                 k_buf, v_buf, sems, sinks_ref=None, lse_ref=None):
     bi = pl.program_id(0)
     hp = cfg.head_pack
     # With head packing (GQA only: hp <= group, so ONE KV head serves the
@@ -548,6 +830,8 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
     # chunked prefill over [prefix | chunk] KV); 0 = standard causal.
     q_span = qi * cfg.block_q + cfg.q_offset
     nbuf = max(cfg.num_kv_buffers, 1)
+    qs_n = cfg.q_splits
+    sub = cfg.block_q // qs_n
 
     if cfg.causal:
         # True early exit: only visible KV blocks are ever visited (the FORI
@@ -559,12 +843,27 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
             # ...and with a sliding window, blocks entirely below every
             # row's window are never fetched either.
             first_block = jnp.maximum(q_span - cfg.window + 1, 0) // cfg.block_kv
+            # First block above EVERY row's window lower edge:
+            # kv_start >= q_span + block_q - window.
+            lo_clear = (jnp.maximum(q_span + cfg.block_q - cfg.window, 0)
+                        + cfg.block_kv - 1) // cfg.block_kv
         else:
             first_block = 0
+            lo_clear = 0
         n_steps = last_excl - first_block
+        # Mask elision: steps [lo_clear, hi_clear) are fully visible for
+        # every row of the Q block (last column <= the block's first row;
+        # above every row's window), so they skip the mask's VPU pass.
+        # Steps outside run the masked body. Expressed in step (not block)
+        # coordinates, clamped so the three fori_loop ranges nest.
+        hi_clear = (q_span + 1) // cfg.block_kv
+        lo_clear = jnp.clip(lo_clear, first_block, last_excl) - first_block
+        hi_clear = jnp.clip(hi_clear, first_block, last_excl) - first_block
+        hi_clear = jnp.maximum(hi_clear, lo_clear)
     else:
         first_block = 0
         n_steps = num_kv
+        lo_clear = hi_clear = None
 
     def kv_block_of(step):
         return (num_kv - 1 - step) if cfg.reverse_kv else first_block + step
@@ -582,35 +881,39 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         )
         return k_dma, v_dma
 
-    qs = []
+    # Q sub-tiles: hp packed heads x qs_n row splits, each an independent
+    # online-softmax chain (same overlap levers as the GRID kernel).
+    qs, spans = [], []
     for g in range(hp):
         qg = q_ref[0, g]
         if cfg.scale_q:
             c0 = (scale * LOG2E) if cfg.use_exp2 else scale
             qg = (qg.astype(jnp.float32) * c0).astype(qg.dtype)
-        qs.append(qg)
+        for i in range(qs_n):
+            qs.append(qg[i * sub:(i + 1) * sub])
+            spans.append(q_span + i * sub)
 
-    def attend_one(q, slot, step, m, l, acc):
+    def attend_one(j, slot, step, m, l, acc, mask):
         kv_start = kv_block_of(step) * cfg.block_kv
         if cfg.kv_splits > 1:
             return _attend_block_split(
-                cfg, scale, q, k_buf[slot], v_buf[slot], q_span, kv_start,
-                m, l, acc,
+                cfg, scale, qs[j], k_buf[slot], v_buf[slot], spans[j],
+                kv_start, m, l, acc, mask=mask,
             )
         s = jax.lax.dot_general(
-            q, k_buf[slot], (((1,), (1,)), ((), ())),
+            qs[j], k_buf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_mm_precision(cfg),
         )
-        return _attend_block(cfg, scale, s, v_buf[slot], q_span, kv_start,
-                             m, l, acc)
+        return _attend_block(cfg, scale, s, v_buf[slot], spans[j], kv_start,
+                             m, l, acc, mask=mask)
 
-    def attend(slot, step, carry):
-        # Per-packed-head independent chains against the SHARED KV slot;
-        # Mosaic overlaps head g's VPU exp pass with head g+1's matmuls.
+    def attend(slot, step, carry, mask):
+        # Per-sub-tile independent chains against the SHARED KV slot;
+        # Mosaic overlaps chain j's VPU exp pass with chain j+1's matmuls.
         ms, ls, accs = carry
         out_m, out_l, out_acc = [], [], []
-        for g in range(hp):
-            m, l, acc = attend_one(qs[g], slot, step, ms[g], ls[g], accs[g])
+        for j in range(hp * qs_n):
+            m, l, acc = attend_one(j, slot, step, ms[j], ls[j], accs[j], mask)
             out_m.append(m)
             out_l.append(l)
             out_acc.append(acc)
@@ -620,53 +923,82 @@ def _fori_kernel(cfg: KernelConfig, scale: float, num_kv: int, group: int,
         # Ladder step 1 "base": fully synchronous copies, no overlap
         # (analogue of the reference's non-async_copy config,
         # previous_kernels/src_1-7).
-        def body(step, carry):
-            k_dma, v_dma = dma(0, step)
-            k_dma.start(); v_dma.start()
-            k_dma.wait(); v_dma.wait()
-            return attend(0, step, carry)
+        def make_body(mask):
+            def body(step, carry):
+                k_dma, v_dma = dma(0, step)
+                k_dma.start(); v_dma.start()
+                k_dma.wait(); v_dma.wait()
+                return attend(0, step, carry, mask)
+            return body
     else:
         # Double(+)-buffered: kick off block step+1 while computing step
         # (ladder steps 3-4: eager loads, LD/ST interleaved with compute).
         k0, v0 = dma(0, 0)
         k0.start(); v0.start()
 
-        def body(step, carry):
-            slot = jax.lax.rem(step, nbuf)
-            next_slot = jax.lax.rem(step + 1, nbuf)
+        def make_body(mask):
+            def body(step, carry):
+                slot = jax.lax.rem(step, nbuf)
+                next_slot = jax.lax.rem(step + 1, nbuf)
 
-            @pl.when(step + 1 < n_steps)
-            def _():
-                kn, vn = dma(next_slot, step + 1)
-                kn.start(); vn.start()
+                @pl.when(step + 1 < n_steps)
+                def _():
+                    kn, vn = dma(next_slot, step + 1)
+                    kn.start(); vn.start()
 
-            kc, vc = dma(slot, step)
-            kc.wait(); vc.wait()
-            return attend(slot, step, carry)
+                kc, vc = dma(slot, step)
+                kc.wait(); vc.wait()
+                return attend(slot, step, carry, mask)
+            return body
 
     init = (
-        tuple(jnp.full((cfg.block_q, _STATS_LANES), MASK_VALUE, jnp.float32)
-              for _ in range(hp)),
-        tuple(jnp.zeros((cfg.block_q, _STATS_LANES), jnp.float32)
-              for _ in range(hp)),
-        tuple(jnp.zeros((cfg.block_q, cfg.d_head), jnp.float32)
-              for _ in range(hp)),
+        tuple(jnp.full((sub, _STATS_LANES), MASK_VALUE, jnp.float32)
+              for _ in range(hp * qs_n)),
+        tuple(jnp.zeros((sub, _STATS_LANES), jnp.float32)
+              for _ in range(hp * qs_n)),
+        tuple(jnp.zeros((sub, cfg.d_head), jnp.float32)
+              for _ in range(hp * qs_n)),
     )
-    ms, ls, accs = jax.lax.fori_loop(0, n_steps, body, init)
+    if cfg.causal and cfg.mask_elide:
+        # Three phases sharing one DMA pipeline (the step index runs
+        # through): masked lead-in (window lower edge), mask-free interior,
+        # masked diagonal tail. Opt-in (configs.KernelConfig.mask_elide):
+        # at Llama shapes the per-program walk is 1-4 blocks, and three
+        # while-loops cost more than the elided mask pass saves (measured
+        # 76.6 -> 71.7 TFLOP/s on v5e) — worthwhile only when the clear
+        # interior spans many blocks.
+        carry = jax.lax.fori_loop(0, lo_clear, make_body(True), init)
+        carry = jax.lax.fori_loop(lo_clear, hi_clear, make_body(False), carry)
+        carry = jax.lax.fori_loop(hi_clear, n_steps, make_body(True), carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_steps, make_body(cfg.causal), init)
+    ms, ls, accs = carry
     for g in range(hp):
-        m, l, acc = ms[g], ls[g], accs[g]
-        if sinks_ref is not None:
-            acc, l_tot = _sink_merge(cfg,
-                                     sinks_ref[pl.program_id(1) * hp + g],
-                                     m[:, :1], l[:, :1], acc)
-            o_ref[0, g] = (acc / l_tot).astype(o_ref.dtype)
-        else:
-            o_ref[0, g] = (acc / l[:, :1]).astype(o_ref.dtype)
+        for i in range(qs_n):
+            j = g * qs_n + i
+            rows = slice(i * sub, (i + 1) * sub)
+            m_col = ms[j][:, :1]
+            l_col = ls[j][:, :1]
+            acc = accs[j]
+            if sinks_ref is not None:
+                acc, l_col, m_col = _sink_merge(
+                    cfg, sinks_ref[pl.program_id(1) * hp + g],
+                    m_col, l_col, acc)
+            o_ref[0, g, rows, :] = (acc / l_col).astype(o_ref.dtype)
+            if lse_ref is not None:
+                # Same residual as the GRID kernel: natural-log row LSE of
+                # the scaled scores, sink included when present.
+                if cfg.use_exp2:
+                    lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
+                else:
+                    lse = m_col + jnp.log(l_col)
+                lse_ref[0, g, rows, :] = lse
 
 
 def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
                      seq_q: int, seq_kv: int, interpret: bool, debug: bool = False,
-                     kv_heads: int | None = None, has_sinks: bool = False):
+                     kv_heads: int | None = None, return_lse: bool = False,
+                     has_sinks: bool = False):
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     d = cfg.d_head
@@ -684,9 +1016,8 @@ def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
             import dataclasses
 
             cfg = dataclasses.replace(cfg, head_pack=hp)
-    kernel = (functools.partial(_fori_kernel_sinks, cfg, scale, num_kv, group)
-              if has_sinks else
-              functools.partial(_fori_kernel, cfg, scale, num_kv, group))
+    kernel = functools.partial(_fori_entry, cfg, scale, num_kv, group,
+                               has_sinks, return_lse)
     out_dtype = cfg.resolved_out_dtype.jnp_dtype
 
     in_specs = [
@@ -698,14 +1029,24 @@ def _build_fori_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     if has_sinks:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
 
+    out_specs = pl.BlockSpec((1, hp, cfg.block_q, d),
+                             lambda b, h, qi: (b, h, qi, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
+    if return_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, hp, cfg.block_q, 1),
+                                  lambda b, h, qi: (b, h, qi, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((batch, heads, seq_q, 1), jnp.float32))
+
     return pl.pallas_call(
         kernel,
         grid=(batch, heads // hp, num_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hp, cfg.block_q, d),
-                               lambda b, h, qi: (b, h, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((nbuf, cfg.block_kv, d), cfg.dtype.jnp_dtype),
             pltpu.VMEM((nbuf, cfg.block_kv, d), cfg.dtype.jnp_dtype),
@@ -766,25 +1107,58 @@ def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if has_sinks and return_lse:
-        # The backward kernels don't model the sink term yet; refuse rather
-        # than hand autodiff a silently-wrong residual.
-        raise NotImplementedError("return_lse with attention sinks")
     if cfg.kv_loop == KVLoop.GRID:
         return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
                                 debug, kv_heads, return_lse, has_sinks)
-    if return_lse:
-        raise NotImplementedError("return_lse requires kv_loop=GRID")
+    if cfg.kv_loop == KVLoop.TRI:
+        return _build_tri_call(cfg, scale, batch, heads, seq_q, seq_kv,
+                               interpret, debug, kv_heads, return_lse,
+                               has_sinks)
     return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
-                            debug, kv_heads, has_sinks)
+                            debug, kv_heads, return_lse, has_sinks)
+
+
+def _fold_args(batch, heads, kv_heads, seq_q, seq_kv):
+    """Reshape closures for cfg.fold_batch: (b, h, s, d) <-> (1, b*h, s, d).
+
+    A pure relabeling — every (batch, head) slice is an independent
+    attention problem, and GQA grouping is preserved because
+    (b*H + h) // group == b*H_kv + h // group. Contiguous reshapes, so XLA
+    emits no copy; per-head sinks tile ``batch`` times.
+    """
+    def fold(q, k, v, sinks=None):
+        qf = q.reshape(1, batch * heads, seq_q, q.shape[-1])
+        kf = k.reshape(1, batch * kv_heads, seq_kv, k.shape[-1])
+        vf = v.reshape(1, batch * kv_heads, seq_kv, v.shape[-1])
+        sf = jnp.tile(sinks, batch) if sinks is not None else None
+        return qf, kf, vf, sf
+
+    def unfold(out):
+        return out.reshape(batch, heads, seq_q, out.shape[-1])
+
+    return fold, unfold
 
 
 @functools.lru_cache(maxsize=512)
 def _cached_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                     seq_kv: int, scale: float, interpret: bool, kv_heads: int,
                     has_sinks: bool = False):
-    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret,
-                              kv_heads=kv_heads, has_sinks=has_sinks)
+    fb = cfg.fold_batch and batch > 1
+    cb, ch, ckv = (1, batch * heads, batch * kv_heads) if fb else (
+        batch, heads, kv_heads)
+    call = make_flash_forward(cfg, cb, ch, seq_q, seq_kv, scale, interpret,
+                              kv_heads=ckv, has_sinks=has_sinks)
+    if fb:
+        fold, unfold = _fold_args(batch, heads, kv_heads, seq_q, seq_kv)
+
+        def run_folded(q, k, v, sinks=None):
+            qf, kf, vf, sf = fold(q, k, v, sinks)
+            out = call(qf, kf, vf, *(() if sf is None else (sf,)))
+            return unfold(out)
+
+        if has_sinks:
+            return jax.jit(lambda q, k, v, sinks: run_folded(q, k, v, sinks))
+        return jax.jit(lambda q, k, v: run_folded(q, k, v))
     if has_sinks:
         return jax.jit(lambda q, k, v, sinks: call(q, k, v, sinks))
     return jax.jit(lambda q, k, v: call(q, k, v))
@@ -805,7 +1179,7 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
         cfg = KernelConfig.for_shape(
             q.shape[2], k.shape[2],
             dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
-            heads=q.shape[1], kv_heads=k.shape[1],
+            heads=q.shape[1], kv_heads=k.shape[1], batch=q.shape[0],
         )
     _validate(cfg, q, k, v)
     if sinks is not None and sinks.shape != (q.shape[1],):
@@ -825,12 +1199,22 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
 
 @functools.lru_cache(maxsize=512)
 def _cached_forward_lse(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
-                        seq_kv: int, scale: float, interpret: bool, kv_heads: int):
-    call = make_flash_forward(cfg, batch, heads, seq_q, seq_kv, scale, interpret,
-                              kv_heads=kv_heads, return_lse=True)
+                        seq_kv: int, scale: float, interpret: bool, kv_heads: int,
+                        has_sinks: bool = False):
+    fb = cfg.fold_batch and batch > 1
+    cb, ch, ckv = (1, batch * heads, batch * kv_heads) if fb else (
+        batch, heads, kv_heads)
+    call = make_flash_forward(cfg, cb, ch, seq_q, seq_kv, scale, interpret,
+                              kv_heads=ckv, return_lse=True,
+                              has_sinks=has_sinks)
 
-    def run(q, k, v):
-        out, lse = call(q, k, v)
+    def run(q, k, v, *sinks):
+        if fb:
+            fold, unfold = _fold_args(batch, heads, kv_heads, seq_q, seq_kv)
+            qf, kf, vf, sf = fold(q, k, v, *sinks)
+            out, lse = call(qf, kf, vf, *(() if sf is None else (sf,)))
+            return unfold(out), lse[..., 0].reshape(batch, heads, seq_q)
+        out, lse = call(q, k, v, *sinks)
         return out, lse[..., 0]  # (b, h, seq_q)
 
     return jax.jit(run)
@@ -838,18 +1222,20 @@ def _cached_forward_lse(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
 
 def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
                            scale: float | None = None,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, sinks=None):
     """Forward pass that also returns the per-row log-sum-exp residual.
 
     ``lse`` is (batch, heads, seq_q) fp32 in the natural-log domain of the
     *scaled* scores: ``lse[r] = log sum_k exp(scale * q_r . k_k)`` — exactly
     what the backward kernels need to reconstruct P without renormalizing.
+    With ``sinks``, the sink logit joins the sum, so the recomputed
+    ``P = exp(s - lse)`` rows sum to ``1 - sink_weight`` as in the forward.
     """
     if cfg is None:
         cfg = KernelConfig.for_shape(
             q.shape[2], k.shape[2],
             dtype=DType.from_jnp(q.dtype), d_head=q.shape[-1],
-            heads=q.shape[1], kv_heads=k.shape[1],
+            heads=q.shape[1], kv_heads=k.shape[1], batch=q.shape[0],
         )
     _validate(cfg, q, k, v)
     if scale is None:
@@ -857,5 +1243,8 @@ def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     fn = _cached_forward_lse(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
-                             float(scale), interpret, k.shape[1])
+                             float(scale), interpret, k.shape[1],
+                             sinks is not None)
+    if sinks is not None:
+        return fn(q, k, v, sinks.astype(jnp.float32))
     return fn(q, k, v)

@@ -27,7 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .configs import DType, KernelConfig, calc_self_attn_flop
-from .flash_forward import MASK_VALUE, _STATS_LANES, _attend_block, _mm_precision
+from .flash_forward import (
+    LOG2E, MASK_VALUE, _STATS_LANES, _attend_block, _mm_precision,
+)
 from .quant import QTensor, unpack_int4_halves
 
 __all__ = ["flash_forward_quantized"]
@@ -41,7 +43,91 @@ def _load_kv_block(ref, mode: str, compute_dtype):
     return ref[0, 0].astype(compute_dtype), None
 
 
-def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
+def _attend_i8(cfg: KernelConfig, c: float, q_i8, k_i8, v_i8,
+               q_span, kv_start, m_prev, l_prev, acc_prev):
+    """Online-softmax update with BOTH dots at the MXU's 2x int8 rate.
+
+    Port of the decode kernel's int8-compute recipe
+    (``paged_attention.py:252-270``) to the prefill shape: S = Q_i8 K_i8^T
+    accumulates int32; P rows are quantized with the constant scale 127
+    (max(p) == exp2(0) == 1 per row after the running-max subtraction), so
+    the PV dot also runs int8 x int8 -> int32. The row sum l is taken over
+    the QUANTIZED P via an int8 matvec against ones — acc/l then cancels
+    the 127 exactly, and the only dequant is the per-head v_scale at
+    finalization (already applied there). Attention weights below ~1/254
+    of the row max round to zero: the standard int8-attention
+    approximation.
+
+    ``c`` is the total log2-domain scale (sm_scale * q_scale * k_scale *
+    log2e), a traced scalar. Sub-tiles by ``cfg.kv_splits`` like
+    :func:`flash_forward._attend_block_split` so the heavier VPU chain
+    (convert + exp FMA + quantize-round) overlaps the next sub-tile's MXU
+    work. int8 has no NaN bit patterns, so masked/garbage rows cannot
+    poison the dots.
+    """
+    n = cfg.kv_splits
+    sub = k_i8.shape[0] // n
+    ms, ls, accs = [], [], []
+    for i in range(n):
+        ks = k_i8[i * sub:(i + 1) * sub, :]
+        vs = v_i8[i * sub:(i + 1) * sub, :]
+        s = jax.lax.dot_general(
+            q_i8, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        if cfg.causal:
+            q_pos = q_span + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_pos = (kv_start + i * sub
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            keep = q_pos >= k_pos
+            if cfg.window:
+                keep = jnp.logical_and(keep, q_pos - k_pos < cfg.window)
+            # c > 0 (quant scales are positive), so the big-negative
+            # sentinel survives the scale multiply inside the exp FMA.
+            s = jnp.where(keep, s, MASK_VALUE)
+        m_i = jnp.max(s, axis=-1, keepdims=True) * c  # scale folds into stats
+        p = jnp.exp2(s * c - m_i)
+        p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+        ones = jnp.ones((sub, 8), jnp.int8)
+        l_i = jax.lax.dot_general(
+            p_i8, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )[:, :1].astype(jnp.float32)
+        acc_i = jax.lax.dot_general(
+            p_i8, vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        ms.append(m_i)
+        ls.append(l_i)
+        accs.append(acc_i)
+
+    m_cur = functools.reduce(jnp.maximum, ms)  # (block_q, 1)
+    if m_prev is None:
+        m_new = jnp.broadcast_to(m_cur, (q_i8.shape[0], _STATS_LANES))
+        l_tot = jnp.zeros_like(ls[0])
+        acc = jnp.zeros_like(accs[0])
+        for m_i, l_i, acc_i in zip(ms, ls, accs):
+            w = jnp.exp2(m_i - m_cur)
+            l_tot = l_tot + l_i * w
+            acc = acc + acc_i * w
+        return m_new, jnp.broadcast_to(l_tot, m_new.shape), acc
+
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    m_row = m_new[:, :1]
+    alpha = jnp.exp2(m_prev - m_new)
+    l_tot = jnp.zeros_like(ls[0])
+    acc = jnp.zeros_like(accs[0])
+    for m_i, l_i, acc_i in zip(ms, ls, accs):
+        w = jnp.exp2(m_i - m_row)
+        l_tot = l_tot + l_i * w
+        acc = acc + acc_i * w
+    l_new = l_prev * alpha + jnp.broadcast_to(l_tot, l_prev.shape)
+    acc = acc_prev * alpha[:, :1] + acc
+    return m_new, l_new, acc
+
+
+def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool,
+                  int8_compute: bool, scale: float,
                   num_kv: int, group: int,
                   q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref, o_ref,
                   acc_ref, m_ref, l_ref):
@@ -73,14 +159,49 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
         eff_scale = eff_scale * qs_ref[bi, hq]
 
     def compute():
+        if int8_compute:
+            # Full-int8 path: both dots at the MXU's 2x int8 rate; the
+            # combined scale folds into the exp FMA (see _attend_i8).
+            c = (eff_scale * LOG2E) if cfg.use_exp2 else eff_scale
+            if cfg.optimized_softmax:
+                @pl.when(is_first)
+                def _():
+                    m, l, acc = _attend_i8(
+                        cfg, c, q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                        q_span, kv_start, None, None, None)
+                    m_ref[...] = m
+                    l_ref[...] = l
+                    acc_ref[...] = acc
+
+                @pl.when(jnp.logical_not(is_first))
+                def _():
+                    m, l, acc = _attend_i8(
+                        cfg, c, q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                        q_span, kv_start, m_ref[...], l_ref[...], acc_ref[...])
+                    m_ref[...] = m
+                    l_ref[...] = l
+                    acc_ref[...] = acc
+            else:
+                @pl.when(is_first)
+                def _():
+                    m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+                    l_ref[...] = jnp.zeros_like(l_ref)
+                    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+                m, l, acc = _attend_i8(
+                    cfg, c, q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                    q_span, kv_start, m_ref[...], l_ref[...], acc_ref[...])
+                m_ref[...] = m
+                l_ref[...] = l
+                acc_ref[...] = acc
+            return
+
         q = q_ref[0, 0]
         if q_quant:
             q = q.astype(compute_dtype)
         if cfg.scale_q:
             # Same trick as the dense kernel, with the runtime-folded
             # quantization scales included: d_head cols instead of block_kv.
-            from .flash_forward import LOG2E
-
             c0 = (eff_scale * LOG2E) if cfg.use_exp2 else eff_scale
             q = (q.astype(jnp.float32) * c0).astype(compute_dtype)
         k_lo, k_hi = _load_kv_block(k_ref, mode, compute_dtype)
@@ -154,7 +275,7 @@ def _quant_kernel(cfg: KernelConfig, mode: str, q_quant: bool, scale: float,
 
 @functools.lru_cache(maxsize=256)
 def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
-                      q_dtype_name: str, q_quant: bool,
+                      q_dtype_name: str, q_quant: bool, int8_compute: bool,
                       scale: float, batch: int, heads: int, kv_heads: int,
                       seq_q: int, seq_kv: int, interpret: bool):
     num_q = seq_q // cfg.block_q
@@ -172,8 +293,8 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
         return pl.BlockSpec((batch, n_heads), lambda b, h, qi, ki: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(_quant_kernel, cfg, mode, q_quant, scale,
-                               num_kv, group)
+    kernel = functools.partial(_quant_kernel, cfg, mode, q_quant,
+                               int8_compute, scale, num_kv, group)
     call = pl.pallas_call(
         kernel,
         grid=(batch, heads, num_q, num_kv),
@@ -220,19 +341,32 @@ def _build_quant_call(cfg: KernelConfig, mode: str, store_dtype_name: str,
 def flash_forward_quantized(q, k: QTensor, v: QTensor,
                             cfg: KernelConfig | None = None, *,
                             scale: float | None = None,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            int8_compute: bool | None = None):
     """softmax(Q K^T * scale) V with quantized Q/K/V and fused dequant.
 
     ``k``/``v`` are :class:`QTensor` (same mode); ``q`` is either a dense
     (b, h, s, d) array in ``cfg.dtype`` or a :class:`QTensor` for the full
     FP8-QKV path — its per-(batch, head) scale folds into the softmax scale
     alongside K's.
+
+    ``int8_compute`` (default: on when the whole QKV triple is int8) runs
+    both matmuls at the MXU's 2x int8 rate instead of upcasting to bf16 —
+    the round-4 quantized-COMPUTE path (VERDICT r3 #2). P is quantized per
+    row with the constant 127 scale; weights below ~1/254 of the row max
+    round to zero (the standard int8-attention approximation, same as the
+    decode kernel's).
     """
     if k.mode != v.mode:
         raise ValueError(f"K/V quant modes differ: {k.mode} vs {v.mode}")
     q_quant = isinstance(q, QTensor)
     if q_quant and q.mode == "int4":
         raise ValueError("int4 Q unsupported: quantize Q as fp8 or int8")
+    if int8_compute is None:
+        int8_compute = bool(q_quant and q.mode == "int8" and k.mode == "int8")
+    if int8_compute and not (q_quant and q.mode == "int8"
+                             and k.mode == "int8"):
+        raise ValueError("int8_compute needs int8 Q, K, and V QTensors")
     q_vals = q.values if q_quant else q
     q_scales = (q.scales if q_quant
                 else jnp.ones((q_vals.shape[0], q_vals.shape[1])))
@@ -255,7 +389,8 @@ def flash_forward_quantized(q, k: QTensor, v: QTensor,
             f"seq ({seq_q}, {seq_kv}) not tileable by ({cfg.block_q}, {cfg.block_kv})"
         )
     fn = _build_quant_call(cfg, k.mode, str(k.values.dtype),
-                           str(q_vals.dtype), q_quant, float(scale),
+                           str(q_vals.dtype), q_quant, bool(int8_compute),
+                           float(scale),
                            batch, heads, kv_heads, seq_q, seq_kv, interpret)
     return fn(q_vals, k.values, v.values, q_scales.astype(jnp.float32),
               k.scales.astype(jnp.float32), v.scales.astype(jnp.float32))

@@ -75,7 +75,7 @@ def _kv_blocks_visited(cfg: KernelConfig, seq_q: int, seq_kv: int) -> int:
     """
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
-    if not (cfg.causal and cfg.kv_loop == KVLoop.FORI):
+    if not (cfg.causal and cfg.kv_loop in (KVLoop.FORI, KVLoop.TRI)):
         return num_q * num_kv
     total = 0
     for qi in range(num_q):
@@ -147,8 +147,6 @@ def bench(configs, seq_lens, heads: int = 16, kv_heads: int | None = None,
                 continue
             if cfg.window and cfg.window >= seq:
                 continue  # window >= seq degenerates to plain causal
-            if grad and cfg.kv_loop != KVLoop.GRID:
-                continue  # the saved-LSE backward path is GRID-only
             kvh = kv_heads or heads
             key = (cfg.dtype, cfg.d_head, kvh)
             if key not in by_key:
@@ -298,7 +296,7 @@ def main(argv=None):
                "harmonic_mean": round(hm, 2), "pct_sol": round(100 * hm / sol, 2),
                "pct_matmul": round(100 * hm / mm, 2),
                "n_seqs": len(per_seq),
-               "timing": "host" if args.host_timing else "scan",
+               "timing": "host" if args.host_timing else "chain",
                "commit": _git_commit()}
         rows.append(row)
         if args.json:

@@ -102,6 +102,13 @@ def main(argv=None):
     ap.add_argument("--unroll", type=int, default=1,
                     help="decode steps per jit call (python-unrolled): "
                          "amortizes the per-call host dispatch")
+    ap.add_argument("--trace", default=None,
+                    help="AFTER the timed run, capture an Xprof xplane of a "
+                         "few decode steps into this dir and print a per-op "
+                         "device-time summary (the roofline-gap attribution "
+                         "tool). NOTE: the device tracer can wedge on "
+                         "tunneled platforms; the JSON result is printed "
+                         "first so a wedge cannot lose the numbers.")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fa_tpu_jax_cache")
@@ -252,6 +259,31 @@ def main(argv=None):
         "cache_gb": round(cbytes / 1e9, 3),
         "device": device_kind(),
     }))
+
+    if args.trace:
+        # Per-op attribution of the decode step (VERDICT r3 #4): which ops
+        # carry the 25% between measured ms/step and the HBM roofline.
+        import os as _os
+
+        import jax.profiler as _prof
+
+        _os.makedirs(args.trace, exist_ok=True)
+        lengths_t = (np.asarray(carry[2]) if args.scan or args.unroll > 1
+                     else lengths)
+        cache_t = cache
+        toks_t = jnp.asarray(tokens)
+        with _prof.trace(args.trace):
+            for _ in range(3):
+                lengths_t = lengths_t + 1
+                logits, cache_t = decode_step(
+                    params, toks_t, cfg, cache_t, jnp.asarray(lengths_t),
+                    tables_j, interpret=False, attn_int8=attn_int8)
+                toks_t = jnp.argmax(logits, -1).astype(jnp.int32)
+            sync(toks_t)
+        from .profile_trace import summarize_xplane
+
+        summary = summarize_xplane(args.trace)
+        print(json.dumps({"trace_summary": summary}), file=sys.stderr)
     return 0
 
 

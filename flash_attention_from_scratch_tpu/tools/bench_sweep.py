@@ -45,7 +45,7 @@ def sweep(seq_lens, heads: int = 16, d_head: int = 128, iters: int = 7,
         q, k, v = generate_qkv(seq, d_head=d_head, n_heads=heads, batch=batch,
                                dtype=jax.numpy.bfloat16)
         cfg = KernelConfig.for_shape(seq, seq, heads=heads, kv_heads=heads,
-                                     d_head=d_head)
+                                     d_head=d_head, batch=batch)
         flops = calc_self_attn_flop(seq, d_head, heads, batch)
         secs = chain_runtime(
             lambda x, k, v: flash_forward(x, k, v, cfg), q, k, v,

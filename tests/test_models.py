@@ -38,8 +38,8 @@ def test_forward_matches_reference_attention(params, tokens):
 
     orig = llama_mod.flash_attention
     llama_mod.flash_attention = (
-        lambda q, k, v, cfg, interpret=None: reference_attention(
-            q, k, v, causal=cfg.causal
+        lambda q, k, v, cfg, interpret=None, sinks=None: reference_attention(
+            q, k, v, causal=cfg.causal, sinks=sinks
         )
     )
     try:
@@ -207,3 +207,24 @@ def test_remat_layers():
     assert jx0.count("remat") == 0
     assert jx1.count("remat") == cfg.n_layers
     assert jx1.count("dot_general") > jx0.count("dot_general")
+
+
+def test_gpt_oss_style_training():
+    """GPT-OSS-shaped config: attention sinks + alternating local/global
+    windows, trained end-to-end (VERDICT r3 #7). The sink logits must
+    receive nonzero gradient and the loss must stay finite."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, attn_sinks=True, window_pattern=(96, 0))
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    assert params["layers"][0]["attn_sinks"].shape == (cfg.n_heads,)
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 129), 0,
+                                cfg.vocab_size)
+    loss, grads = jax.value_and_grad(lambda p: loss_fn(p, tokens, cfg))(params)
+    assert jnp.isfinite(loss)
+    gz = grads["layers"][0]["attn_sinks"]
+    assert gz.shape == (cfg.n_heads,)
+    assert jnp.isfinite(gz).all()
+    assert float(jnp.abs(gz).max()) > 0.0
+    gq = grads["layers"][1]["wq"]
+    assert jnp.isfinite(gq).all() and float(jnp.abs(gq).max()) > 0.0

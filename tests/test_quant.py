@@ -125,3 +125,52 @@ def test_mode_mismatch_rejected():
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
     with pytest.raises(ValueError):
         flash_forward_quantized(q, quantize_kv(k, "int8"), quantize_kv(v, "int4"), CFG)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_int8_compute_attention(causal):
+    """Round-4 quantized-COMPUTE path: both dots run int8 x int8 -> int32
+    on the MXU (2x rate); P is quantized at the constant 127 row scale.
+    Error vs the dequantized oracle is bounded by the P-quantization step
+    (~1/254 of each row's max weight, integrated over the row)."""
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=causal)
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    qq, kq, vq = (quantize_kv(t, "int8") for t in (q, k, v))
+    out = flash_forward_quantized(qq, kq, vq, cfg)  # int8_compute auto-on
+    ref = reference_attention(dequantize(qq), dequantize(kq), dequantize(vq),
+                              causal=causal)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    # P rounds to 1/254 of the row max. Non-causal 256-long rows integrate
+    # that noise to ~6e-3; causal EARLY rows see only a handful of keys, so
+    # the same per-weight step is divided by a much smaller denominator —
+    # measured 3.1e-2 max (at the short-row corner), mean ~1e-3.
+    bound = 4e-2 if causal else 2.5e-2
+    assert err <= bound, f"int8_compute causal={causal}: {err}"
+    # and it must agree with the upcast path to the same order
+    up = flash_forward_quantized(qq, kq, vq, cfg, int8_compute=False)
+    derr = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                 - up.astype(jnp.float32))))
+    assert derr <= bound, derr
+
+
+def test_int8_compute_kv_splits():
+    """The int8 attend sub-tiles by cfg.kv_splits (VPU/MXU overlap lever)."""
+    cfg = KernelConfig(block_q=128, block_kv=256, kv_splits=2)
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    qq, kq, vq = (quantize_kv(t, "int8") for t in (q, k, v))
+    out = flash_forward_quantized(qq, kq, vq, cfg)
+    base = flash_forward_quantized(
+        qq, kq, vq, KernelConfig(block_q=128, block_kv=256))
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - base.astype(jnp.float32))))
+    # Sub-tiles quantize P against their LOCAL max, so split and unsplit
+    # differ by one extra rounding of the smaller partials (~2 bf16 ulps).
+    assert err <= 2e-2, err
+
+
+def test_int8_compute_requires_full_int8():
+    q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    kq, vq = quantize_kv(k, "int8"), quantize_kv(v, "int8")
+    with pytest.raises(ValueError):
+        flash_forward_quantized(q, kq, vq, CFG, int8_compute=True)
