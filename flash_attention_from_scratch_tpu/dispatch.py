@@ -134,8 +134,19 @@ def chain_runtime(step_fn, x0, *args, steps: int | None = None, iters: int = 5,
         return run
 
     f1, f2 = chained(steps), chained(2 * steps)
-    sync(f1(x0, *args))  # compile + warm
-    sync(f2(x0, *args))
+    for attempt in (0, 1):
+        try:
+            sync(f1(x0, *args))  # compile + warm
+            sync(f2(x0, *args))
+            break
+        except jax.errors.JaxRuntimeError:
+            # The tunneled remote-compile service intermittently drops a
+            # response mid-body ("response body closed before all bytes
+            # were read"), killing multi-hour sweeps on one flake. One
+            # retry re-issues the compile (the service caches server-side).
+            if attempt:
+                raise
+            time.sleep(5.0)
     t1s, t2s = [], []
     for _ in range(iters):
         t0 = time.perf_counter()

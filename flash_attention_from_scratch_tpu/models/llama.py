@@ -104,14 +104,18 @@ class LlamaConfig:
                     training: bool = True) -> KernelConfig:
         """Measured-best causal kernel config for this model at ``seq_len``.
 
-        Data: profiles/causal_llama_v5e.csv (Llama-3-8B head shape, 32 Q /
-        8 KV heads, causal FLOP accounting). The GRID kernel with whole-seq
-        KV blocks + sp2+qs2 wins up to seq 4096 (81.9 vs 55.9 FORI at
-        2048); from seq 8192 the FORI kernel's true causal early exit wins
-        by ~28% (98.1 vs 76.6) because GRID still DMAs every above-diagonal
-        block it predicates away. FORI has no saved-LSE backward path, so
-        the FORI branch is taken only with ``training=False`` (the serving
-        prefill path); training always gets GRID.
+        Data: profiles/causal_llama_r4.csv (Llama 32/8-GQA shapes, causal
+        FLOP accounting, chain timer). Round 4's winner for PLAIN causal is
+        the row-band decomposition (``decompose``): every Q band runs one
+        whole-KV single-shot call over its visible prefix, so nearly all
+        work lands at the chip's best rate — 125/160/174 TFLOP/s at
+        2048/4096/8192 vs the best monolithic walk's 87.6/103.2/122.8.
+        Trains too (band LSEs are the full problem's; the standard FA2
+        backward consumes them). Sliding windows don't band; they keep the
+        round-3 policy — GRID whole-KV short, packed FORI early-exit long
+        (now for training as well: round 4 gave FORI the saved-LSE path).
+        The TRI pair-grid and mask elision measured strictly worse and
+        stay off (see VERDICT r3 #1 / profiles/causal_llama_r4.csv).
         """
 
         def largest_divisor_block(limit: int, quantum: int) -> int:
@@ -134,19 +138,21 @@ class LlamaConfig:
                       # block 0 is visible, which a window breaks.
                       optimized_softmax=not window)
         bq = largest_divisor_block(self.block_q, 8)
-        if not training and seq_len >= 4096 and seq_len % 1024 == 0:
+        group = self.n_heads // self.n_kv_heads
+        hp = next((c for c in (4, 2)
+                   if self.n_heads % c == 0 and group % c == 0), 1)
+        if (not window and not self.attn_softcap and seq_len >= 2048
+                and seq_len % 512 == 0):
+            # Row-band decomposition: dispatch-level banding; the config's
+            # block/overlap knobs parameterize each band's single-shot call.
+            return KernelConfig(block_q=bq, block_kv=2048, decompose=True,
+                                kv_splits=2, q_splits=2, head_pack=hp,
+                                **common)
+        if seq_len >= 4096 and seq_len % 1024 == 0:
             from ..ops.configs import KVLoop
 
-            # Group packing composes with the FORI walk (one shared KV DMA
-            # stream per packed group): on Llama 32/8-head shapes the
-            # packed FORI runs 102/123/137 TFLOP/s at seq 4096/8192/16384
-            # vs the best GRID's 83/74/80 — the GRID-vs-FORI crossover
-            # moves down to 4096 (profiles/causal_llama_hp_v5e.csv); 3 DMA
-            # buffers edge out 2. Training still takes the GRID branch
-            # (the saved-LSE backward path is GRID-only).
-            group = self.n_heads // self.n_kv_heads
-            hp = next((c for c in (4, 2)
-                       if self.n_heads % c == 0 and group % c == 0), 1)
+            # Windowed long-context: packed FORI early-exit walk (one
+            # shared KV DMA stream per packed group); 3 buffers beat 2.
             return KernelConfig(block_q=bq, block_kv=1024,
                                 kv_loop=KVLoop.FORI, head_pack=hp,
                                 num_kv_buffers=3, **common)

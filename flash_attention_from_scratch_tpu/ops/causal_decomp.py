@@ -1,0 +1,127 @@
+"""Row-band causal attention: every band at the whole-KV single-shot rate.
+
+The round-4 causal-throughput finding (profiles/causal_llama_r4.csv): every
+kernel that walks the triangle with small KV tiles — FORI early-exit, the
+TRI pair-enumerated grid — tops out near HALF the chip's whole-KV
+implementation rate (~95-105 vs 174-189 TFLOP/s), because a 1-4 step
+online-softmax chain per program cannot overlap its serial QK -> exp -> PV
+chain the way a single-shot whole-KV program does. The GRID whole-KV causal
+kernel runs at ~93% of the ceiling but computes the full rectangle,
+wasting half its work above the diagonal.
+
+This module takes the third path: split the Q rows into horizontal BANDS.
+Band i (rows [i*L, (i+1)*L)) sees exactly the KV prefix [0, (i+1)*L), so it
+runs ONE offset-causal whole-KV single-shot call over that prefix — the
+shape the chip likes best — and wastes only the above-diagonal half of its
+LAST LxL corner. With n bands the visited/visible ratio is
+(sum_{i=1..n} i) / (n^2/2 + n/2) -> ~1.11 at n=8, so the credited rate
+approaches ~0.9x the single-shot rate. Unlike an LSE-merge decomposition
+(tried first: the fp32 merge/concat traffic ate ~18%), bands need NO merge
+at all — each band's rows are complete, outputs simply concatenate.
+
+Forward-only dispatch: each band's LSE is the full problem's LSE for its
+rows, so autodiff's backward runs the standard FA2 kernels on the whole
+problem unchanged (ops/autodiff.py). Plain causal self-attention only;
+windows/softcaps/offsets go through the monolithic kernels.
+
+Measured on v5e (Llama 32/8-GQA, chain timer): see
+profiles/causal_llama_r4.csv — the `dc` rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from .configs import KernelConfig
+
+__all__ = ["causal_forward_banded", "band_count"]
+
+
+def band_count(seq: int, band_rows: int = 512) -> int:
+    """Bands of ~band_rows rows; clamped to [1, 16] and to divisors.
+
+    More bands shave the diagonal overshoot (ratio (n+1)/n ... -> 1) but
+    add per-call fixed cost and one extra compile per distinct width;
+    bands of 512-1024 rows measured best on v5e.
+    """
+    n = max(1, min(16, seq // band_rows))
+    while seq % n:
+        n -= 1
+    return n
+
+
+def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
+                          scale: float | None = None,
+                          interpret: bool | None = None,
+                          bands: int | None = None):
+    """(out, lse) for plain causal attention via row-band decomposition.
+
+    ``cfg`` supplies the per-band knobs (dtype, block_q, overlap levers);
+    each band runs with ``block_kv`` = its whole KV prefix (single-shot
+    softmax) and ``q_offset`` = its first row. S-tile VMEM budget caps the
+    widest band; beyond it the band's block_kv clamps and the call becomes
+    a short multi-step walk (still at most 2 steps at 32K with q512).
+    """
+    if not cfg.causal or cfg.window or cfg.q_offset or cfg.attn_softcap:
+        raise ValueError(
+            "causal_forward_banded handles plain causal only "
+            "(window/softcap/q_offset go through the monolithic kernels)")
+    if q.shape[2] != k.shape[2]:
+        raise ValueError("banding assumes self-attention (seq_q == seq_kv)")
+    from .flash_forward import flash_forward_with_lse
+
+    seq = q.shape[2]
+    n = bands if bands is not None else band_count(seq)
+    rows = seq // n
+    outs, lses = [], []
+    for i in range(n):
+        width = (i + 1) * rows
+        qb = q[:, :, i * rows:(i + 1) * rows, :]
+        kb = k[:, :, :width, :]
+        vb = v[:, :, :width, :]
+        # Whole-prefix KV while the fp32 S tile fits the measured budget;
+        # past that the largest fitting divisor (a 2-3 step walk).
+        bq = min(cfg.block_q, rows)
+        while rows % bq:
+            bq //= 2
+        bkv_cap = max(KernelConfig.S_TILE_BUDGET_BYTES // (4 * bq), 128)
+        bkv = min(width, bkv_cap)
+        while width % bkv:
+            bkv -= 128
+        # Per-band overlap knobs follow the whole-KV sweep winners for the
+        # band's WIDTH (configs._SWEEP_TABLE): narrow bands take the
+        # caller's head packing (GQA group packing measured best <= 4K
+        # wide), wide bands trade packed heads for kv sub-splits — an
+        # hp4 x 32MB S-tile set at width 16K both busts VMEM and
+        # serializes the packed chains (sp5/hp4 measured 0.5-1.8 MB past
+        # the 64 MB limit; the 16K non-causal champion is sp8+hp1).
+        if bkv >= 12288:
+            sp_t, hp_t = 8, 1
+        elif bkv > 8192:
+            sp_t, hp_t = 4, 2
+        elif bkv >= 4096:
+            # sp2 + the caller's packing measured best through width 8192
+            # (seq-8192 sweep: 173.9 vs 166.4 TFLOP/s with an sp4+hp2
+            # bucket); beyond 8192 the wider S-tile set flips it.
+            sp_t, hp_t = 2, cfg.head_pack
+        else:
+            sp_t, hp_t = cfg.kv_splits, cfg.head_pack
+        sp = max(cfg.kv_splits, sp_t)
+        while sp > 1 and bkv % (sp * 128):
+            sp //= 2
+        band_cfg = dataclasses.replace(
+            cfg, block_q=bq, block_kv=bkv, q_offset=i * rows,
+            decompose=False,
+            kv_splits=sp,
+            head_pack=max(1, min(cfg.head_pack, hp_t)),
+            q_splits=(cfg.q_splits
+                      if bq % (cfg.q_splits * cfg.dtype.min_tile[0]) == 0
+                      else 1),
+        )
+        o, lse = flash_forward_with_lse(qb, kb, vb, band_cfg, scale=scale,
+                                        interpret=interpret)
+        outs.append(o)
+        lses.append(lse)
+    return jnp.concatenate(outs, axis=2), jnp.concatenate(lses, axis=2)

@@ -190,6 +190,14 @@ class KernelConfig:
     # (p - window, p]. 0 disables. Requires causal; KV blocks entirely
     # below the window are skipped (FORI: never visited; GRID: predicated).
     window: int = 0
+    # Block-triangular decomposition (plain causal only): dispatch splits
+    # the triangle into non-causal rectangles (run at the whole-KV
+    # single-shot rate, ~2x the best triangle-walking kernel's) plus
+    # half-size causal leaves, LSE-merged like ring attention's partials
+    # (ops/causal_decomp.py). Forward-dispatch only — the merged LSE equals
+    # the monolithic problem's, so the backward runs the standard FA2
+    # kernels on the whole problem. This config is the LEAF config.
+    decompose: bool = False
     # Mask elision: skip the iota+compare+select VPU pass on causal blocks
     # that are fully visible (GRID: per-sub-tile pl.when dual-branch; FORI:
     # the KV walk splits into masked-edge / clear-interior / masked-diagonal
@@ -226,6 +234,11 @@ class KernelConfig:
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
             )
+        if self.decompose and (not self.causal or self.window or self.q_offset
+                               or self.attn_softcap):
+            raise ValueError(
+                "decompose handles plain causal self-attention only "
+                "(window/softcap/q_offset need the monolithic kernels)")
         if self.kv_loop == KVLoop.TRI and not self.causal:
             raise ValueError(
                 "kv_loop=TRI enumerates the causal triangle; use GRID for "
@@ -451,6 +464,8 @@ class KernelConfig:
             flags.append("fb")
         if self.mask_elide:
             flags.append("me")
+        if self.decompose:
+            flags.append("dc")
         if self.reverse_kv:
             flags.append("rk")
         if self.causal:
@@ -525,6 +540,7 @@ def parse_short_form(s: str) -> KernelConfig:
         scale_q="sq" in flags,
         fold_batch="fb" in flags,
         mask_elide="me" in flags,
+        decompose="dc" in flags,
         reverse_kv="rk" in flags,
         causal="ca" in flags,
         kv_loop=KVLoop(m.group("loop")),

@@ -1139,6 +1139,32 @@ def _fold_args(batch, heads, kv_heads, seq_q, seq_kv):
     return fold, unfold
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_decomposed(cfg: KernelConfig, scale: float, interpret: bool):
+    """One jit over the row-band causal decomposition + sink fold.
+
+    The banding is a composite of cached pallas calls and two concats;
+    jitting the composite keeps it one device program instead of a
+    per-piece dispatch chain. Sinks fold in at the very end (the band
+    partials are sink-free): lse' = logaddexp(lse, z) and O rescales by
+    exp(lse - lse'), the same algebra as the in-kernel merge.
+    """
+    from .causal_decomp import causal_forward_banded
+
+    def run(q, k, v, *sinks):
+        out, lse = causal_forward_banded(q, k, v, cfg, scale=scale,
+                                         interpret=interpret)
+        if sinks:
+            z = sinks[0].astype(jnp.float32)[None, :, None]
+            lse_tot = jnp.logaddexp(lse, z)
+            out = (out.astype(jnp.float32)
+                   * jnp.exp(lse - lse_tot)[..., None]).astype(out.dtype)
+            lse = lse_tot
+        return out, lse
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=512)
 def _cached_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
                     seq_kv: int, scale: float, interpret: bool, kv_heads: int,
@@ -1189,6 +1215,11 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if cfg.decompose and q.shape[2] == k.shape[2]:
+        fn = _cached_decomposed(cfg, float(scale), interpret)
+        if sinks is not None:
+            return fn(q, k, v, sinks.astype(jnp.float32))[0]
+        return fn(q, k, v)[0]
     fn = _cached_forward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
                          float(scale), interpret, k.shape[1],
                          sinks is not None)
@@ -1242,6 +1273,11 @@ def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if cfg.decompose and q.shape[2] == k.shape[2]:
+        fn = _cached_decomposed(cfg, float(scale), interpret)
+        if sinks is not None:
+            return fn(q, k, v, sinks.astype(jnp.float32))
+        return fn(q, k, v)
     fn = _cached_forward_lse(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],
                              float(scale), interpret, k.shape[1],
                              sinks is not None)

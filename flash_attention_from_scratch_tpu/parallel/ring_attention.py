@@ -124,7 +124,7 @@ def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
     n_shards = mesh.shape[axis]
     shard_len = q.shape[2] // n_shards
     base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
-                               kv_loop=KVLoop.GRID)
+                               kv_loop=KVLoop.GRID, decompose=False)
     diag = dataclasses.replace(
         base, causal=causal, window=cfg.window,
         optimized_softmax=base.optimized_softmax and not cfg.window)
@@ -175,7 +175,7 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
     n_shards = mesh.shape[axis]
     shard_len = q.shape[2] // n_shards
     base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
-                               kv_loop=KVLoop.GRID)
+                               kv_loop=KVLoop.GRID, decompose=False)
     diag = dataclasses.replace(
         base, causal=causal, window=cfg.window,
         optimized_softmax=base.optimized_softmax and not cfg.window)

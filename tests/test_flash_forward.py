@@ -555,3 +555,78 @@ def test_tri_requires_causal():
                        kv_loop=KVLoop.TRI)
     from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
     assert parse_short_form(cfg.short_form()) == cfg
+
+
+# -- block-triangular causal decomposition (cfg.decompose) --------------------
+
+
+def test_decompose_matches_monolithic():
+    """Rectangles + merged leaves == the monolithic causal kernel, and the
+    merged LSE equals the full-problem LSE (the backward relies on it)."""
+    import dataclasses
+
+    from flash_attention_from_scratch_tpu.ops.flash_forward import (
+        flash_forward_with_lse,
+    )
+
+    q, _, _ = generate_qkv(1024, n_heads=4, batch=1, dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(1024, n_heads=2, batch=1, dtype=jnp.bfloat16,
+                           seed=1)
+    mono = KernelConfig(block_q=128, block_kv=256, causal=True)
+    deco = dataclasses.replace(mono, decompose=True)
+    o_m, l_m = flash_forward_with_lse(q, k, v, mono)
+    o_d, l_d = flash_forward_with_lse(q, k, v, deco)
+    assert float(jnp.max(jnp.abs(l_d - l_m))) < 1e-3
+    assert float(jnp.max(jnp.abs(o_d.astype(jnp.float32)
+                                 - o_m.astype(jnp.float32)))) < 1e-2
+
+
+def test_decompose_with_sinks():
+    """The sink folds in once, at the very top of the decomposition."""
+    import dataclasses
+
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    z = jnp.linspace(-0.5, 1.0, 2, dtype=jnp.float32)
+    deco = KernelConfig(block_q=128, block_kv=128, causal=True,
+                        decompose=True)
+    out = flash_forward(q, k, v, deco, sinks=z)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True, sinks=z)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"decompose+sinks: {kerr:.3e} vs {berr:.3e}"
+
+
+def test_decompose_grad():
+    """Training through the decomposed forward: the standard FA2 backward
+    consumes the merged LSE unchanged."""
+    import jax
+
+    from flash_attention_from_scratch_tpu.ops.autodiff import flash_attention
+    from flash_attention_from_scratch_tpu.ops.reference import (
+        reference_attention,
+    )
+
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    do = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=2)[0]
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True, decompose=True)
+
+    grads = jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v, cfg)
+                                             * do), argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(lambda q, k, v: jnp.sum(
+        reference_attention(q, k, v, causal=True) * do),
+        argnums=(0, 1, 2))(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32))
+    for name, a, b in zip("qkv", grads, ref):
+        rel = float(jnp.abs(a.astype(jnp.float32) - b).max()
+                    / (jnp.abs(b).max() + 1e-9))
+        assert rel < 5e-2, f"d{name}: {rel}"
+
+
+def test_decompose_validation():
+    with pytest.raises(ValueError):
+        KernelConfig(decompose=True)  # needs causal
+    with pytest.raises(ValueError):
+        KernelConfig(causal=True, decompose=True, window=128,
+                     optimized_softmax=False)
+    cfg = KernelConfig(causal=True, decompose=True)
+    from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
+    assert parse_short_form(cfg.short_form()) == cfg
