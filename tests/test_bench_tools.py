@@ -77,3 +77,53 @@ def test_bench_grad_mode_smoke():
                  log=lambda *a: None)
     row = rows[cfg.short_form()][256]
     assert row["tflops"] > 0 and row["ms"] > 0
+
+
+def test_bench_quant_numerics_all_variants_pass():
+    """bench_quant's adaptive-2x numerics lane: every variant accepts.
+
+    This is the CPU half of the round-4 quantized-COMPUTE proof (VERDICT
+    r3 #2); the TFLOP/s half runs on-chip into quant_prefill_v5e.csv.
+    """
+    from flash_attention_from_scratch_tpu.tools.bench_quant import (
+        numerics_check,
+    )
+
+    rows = numerics_check(seq=256, heads=2, batch=1, log=lambda *a: None)
+    assert {r["variant"] for r in rows} == {"int8c", "int8u", "int8kv", "fp8"}
+    for r in rows:
+        assert r["adaptive_ok"], r
+        # kernel error must never exceed the quantization noise by more
+        # than the 2x rule already certified; sanity that fields exist.
+        assert r["kernel_err"] >= 0 and r["quant_err"] > 0
+
+
+def test_ladder_rungs_tile_and_fit_at_all_seqs():
+    """Every ladder rung builds a tileable, VMEM-feasible config at every
+    reference sequence length (the 6-seq x 12-rung table, VERDICT r3 #8)."""
+    from flash_attention_from_scratch_tpu.tools.bench_ladder import RUNGS
+
+    assert len(RUNGS) == 12
+    for label, build in RUNGS:
+        for s in (512, 1024, 2048, 4096, 8192, 16384):
+            c = build(s, 16, 16)
+            assert s % c.block_q == 0 and s % c.block_kv == 0, (label, s)
+            assert c.fits_vmem(), (label, s, c.short_form())
+
+
+def test_ladder_is_cumulative_through_rung_11():
+    """Rungs 7-11 each add exactly one knob over the previous (the ladder
+    property the reference's table communicates); the FORI rungs 1/6 are
+    the documented side-quests and 12 is the sweep champion."""
+    from flash_attention_from_scratch_tpu.tools.bench_ladder import RUNGS
+
+    s = 4096
+    c7 = RUNGS[6][1](s, 16, 16)
+    c8 = RUNGS[7][1](s, 16, 16)
+    assert not c7.scale_q and c8.scale_q
+    c9 = RUNGS[8][1](s, 16, 16)
+    assert c9.block_kv == s and c9.kv_splits > 1
+    c10 = RUNGS[9][1](s, 16, 16)
+    assert c10.q_splits == 2 and c10.head_pack == 1
+    c11 = RUNGS[10][1](s, 16, 16)
+    assert c11.head_pack > 1
