@@ -381,6 +381,13 @@ def make_flash_backward_fused(cfg: KernelConfig, batch: int, heads: int,
         bq //= 2
     while seq_kv % bkv:
         bkv //= 2
+    if splits is None and block_q is None:
+        # r4 rung table (profiles/backward_v5e.csv): 1024-tiles + qs2 wins
+        # at seq >= 2048 (187.5 vs 173.3 TFLOP/s fwd+bwd at 4096); at
+        # seq 1024 the sub-tiling costs more than the overlap buys
+        # (163.6 vs 187.9) — q rows per split fall to 512 and the second
+        # sub-tile no longer hides a full exp/mask pass.
+        splits = 2 if seq_q >= 2048 else 1
     q_splits = splits or 1
     if bq % q_splits or (bq // q_splits) % 128:
         q_splits = 1

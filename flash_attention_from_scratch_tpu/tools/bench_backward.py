@@ -96,8 +96,15 @@ def bench_backward(seq_lens, heads=16, kv_heads=None, causal=False,
 
                 def step(do_, q_, k_, v_, o_, lse_, dsum_, call=call):
                     dq, dk, dv = call(q_, k_, v_, do_, lse_, dsum_)
-                    # chain through do so the unrolled steps serialize
-                    return do_ + dq * 1e-9
+                    # Chain through do so the unrolled steps serialize.
+                    # EVERY output must feed the carry: a pallas call none
+                    # of whose outputs are used is dead code and XLA
+                    # deletes it wholesale (first run of this tool timed
+                    # the split dKV kernel at an impossible 328 TFLOP/s —
+                    # it was never executing). One scalar element each is
+                    # enough to keep a call alive at zero bandwidth cost.
+                    return (do_ + dq * 1e-9
+                            + (dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) * 1e-9)
             else:
                 dq_call, dkv_call = make_flash_backward(
                     cfg, batch, heads, seq, seq, kv_heads, scale, False, **kw)
@@ -106,7 +113,10 @@ def bench_backward(seq_lens, heads=16, kv_heads=None, causal=False,
                          dq_call=dq_call, dkv_call=dkv_call):
                     dq = dq_call(q_, k_, v_, do_, lse_, dsum_)
                     dk, dv = dkv_call(q_, k_, v_, do_, lse_, dsum_)
-                    return do_ + dq * 1e-9
+                    # dk/dv must reach the carry or the dkv pallas call is
+                    # dead code (see the fused branch's comment).
+                    return (do_ + dq * 1e-9
+                            + (dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) * 1e-9)
 
             dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                            axis=-1)
