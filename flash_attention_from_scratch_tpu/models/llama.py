@@ -111,11 +111,13 @@ class LlamaConfig:
         work lands at the chip's best rate — 125/160/174 TFLOP/s at
         2048/4096/8192 vs the best monolithic walk's 87.6/103.2/122.8.
         Trains too (band LSEs are the full problem's; the standard FA2
-        backward consumes them). Sliding windows don't band; they keep the
-        round-3 policy — GRID whole-KV short, packed FORI early-exit long
-        (now for training as well: round 4 gave FORI the saved-LSE path).
-        The TRI pair-grid and mask elision measured strictly worse and
-        stay off (see VERDICT r3 #1 / profiles/causal_llama_r4.csv).
+        backward consumes them). Round 5 extends banding to sliding
+        windows: a window only clips each band's KV slice from below, so
+        windowed layers >= 4K route through the same decomposition
+        (profiles/window_v5e.csv); short windowed shapes keep the round-3
+        monolithic policy. The TRI pair-grid and mask elision measured
+        strictly worse and stay off (see VERDICT r3 #1 /
+        profiles/causal_llama_r4.csv).
         """
 
         def largest_divisor_block(limit: int, quantum: int) -> int:
@@ -141,10 +143,14 @@ class LlamaConfig:
         group = self.n_heads // self.n_kv_heads
         hp = next((c for c in (4, 2)
                    if self.n_heads % c == 0 and group % c == 0), 1)
-        if (not window and not self.attn_softcap and seq_len >= 2048
-                and seq_len % 512 == 0):
+        if (seq_len % 512 == 0
+                and seq_len >= (4096 if window else 2048)):
             # Row-band decomposition: dispatch-level banding; the config's
-            # block/overlap knobs parameterize each band's single-shot call.
+            # block/overlap knobs parameterize each band's single-shot
+            # call. Softcap is elementwise per band; a window clips each
+            # band's KV slice (round-5 extension) so windowed layers band
+            # from 4K up — below that the whole-KV monolithic call already
+            # covers the window.
             return KernelConfig(block_q=bq, block_kv=2048, decompose=True,
                                 kv_splits=2, q_splits=2, head_pack=hp,
                                 **common)
@@ -446,24 +452,26 @@ def _attention(layer, x, cfg: LlamaConfig, cos, sin, interpret=None, mesh=None,
         q = (q.astype(jnp.float32) * _q_scale_ratio(cfg)).astype(q.dtype)
     # GQA is native to the kernel: Q head h reads KV head h // group via the
     # BlockSpec index map, so K/V are never materialized at n_heads width.
-    if mesh is not None and layer.get("attn_sinks") is not None:
-        # The ring merge and the head-sharded wrapper don't thread the sink
-        # logit yet; refuse rather than silently train without it.
-        raise NotImplementedError("attn_sinks under mesh sharding")
     if mesh is not None and "sp" in mesh.axis_names:
         # Context parallelism: sequence shards stay resident, K/V rotate
         # around the ICI ring. Everything else in the layer is pointwise
-        # over seq, so only attention needs the ring.
+        # over seq, so only attention needs the ring. Sinks (replicated
+        # over sp) fold into the ring's merged LSE once, post-ring.
         from ..parallel.ring_attention import ring_flash_attention
 
         out = ring_flash_attention(
             q, k, v, cfg.attn_config(s // mesh.shape["sp"], layer=li), mesh,
-            axis="sp", interpret=interpret)
+            axis="sp", interpret=interpret,
+            sinks=layer.get("attn_sinks"))
     elif mesh is not None:
+        # Heads are the sharded axis; sinks are per-head, so each shard
+        # gets its local head-slice of the sink vector (round 5 — lifts
+        # the r4 NotImplementedError).
         from ..parallel.sharded_attention import shard_mapped_attention
 
         out = shard_mapped_attention(q, k, v, cfg.attn_config(s, layer=li),
-                                     mesh, interpret)
+                                     mesh, interpret,
+                                     sinks=layer.get("attn_sinks"))
     else:
         out = flash_attention(q, k, v, cfg.attn_config(s, layer=li), interpret,
                               layer.get("attn_sinks"))

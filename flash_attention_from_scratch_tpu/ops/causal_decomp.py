@@ -19,13 +19,22 @@ approaches ~0.9x the single-shot rate. Unlike an LSE-merge decomposition
 (tried first: the fp32 merge/concat traffic ate ~18%), bands need NO merge
 at all — each band's rows are complete, outputs simply concatenate.
 
+Sliding windows (round 5): a window only CLIPS each band's visible KV range
+from below — band i sees [max(0, i*L - W + 1), (i+1)*L) — so the band is
+still one offset-causal call, now over a ~(L + W)-wide slice instead of the
+full prefix, with the kernel's own window mask handling the ragged lower
+edge inside the slice. Chunked prefill (caller ``q_offset`` > 0) shifts
+every band's diagonal by the chunk start the same way. Both lift the
+round-4 restriction that kept Mistral-window / offset layers on the
+monolithic walks (VERDICT r4 #6).
+
 Forward-only dispatch: each band's LSE is the full problem's LSE for its
 rows, so autodiff's backward runs the standard FA2 kernels on the whole
-problem unchanged (ops/autodiff.py). Plain causal self-attention only;
-windows/softcaps/offsets go through the monolithic kernels.
+problem unchanged (ops/autodiff.py).
 
 Measured on v5e (Llama 32/8-GQA, chain timer): see
-profiles/causal_llama_r4.csv — the `dc` rows.
+profiles/causal_llama_r4.csv — the `dc` rows — and the round-5 windowed
+rows in profiles/window_v5e.csv.
 """
 
 from __future__ import annotations
@@ -55,21 +64,31 @@ def band_count(seq: int, band_rows: int = 512) -> int:
 def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
                           scale: float | None = None,
                           interpret: bool | None = None,
-                          bands: int | None = None):
-    """(out, lse) for plain causal attention via row-band decomposition.
+                          bands: int | None = None,
+                          band_rules=None):
+    """(out, lse) for causal attention via row-band decomposition.
+
+    Handles plain causal, sliding windows, logit softcaps, and offset-
+    causal chunked prefill (``cfg.q_offset``): band i's visible KV range is
+    the clipped prefix ``[max(0, lo_edge), base + (i+1)*rows)`` where
+    ``lo_edge`` is the window's lower edge at the band's first row — one
+    offset-causal single-shot call over the slice, with the in-kernel
+    window mask covering the ragged edge inside it.
 
     ``cfg`` supplies the per-band knobs (dtype, block_q, overlap levers);
-    each band runs with ``block_kv`` = its whole KV prefix (single-shot
-    softmax) and ``q_offset`` = its first row. S-tile VMEM budget caps the
-    widest band; beyond it the band's block_kv clamps and the call becomes
-    a short multi-step walk (still at most 2 steps at 32K with q512).
+    each band runs with ``block_kv`` = its whole visible KV slice
+    (single-shot softmax) and ``q_offset`` re-aligned to the slice start.
+    S-tile VMEM budget caps the widest band; beyond it the band's block_kv
+    clamps and the call becomes a short multi-step walk (still at most 2
+    steps at 32K with q512).
     """
-    if not cfg.causal or cfg.window or cfg.q_offset or cfg.attn_softcap:
+    if not cfg.causal:
+        raise ValueError("causal_forward_banded requires causal masking")
+    base = cfg.q_offset
+    if k.shape[2] != q.shape[2] + base:
         raise ValueError(
-            "causal_forward_banded handles plain causal only "
-            "(window/softcap/q_offset go through the monolithic kernels)")
-    if q.shape[2] != k.shape[2]:
-        raise ValueError("banding assumes self-attention (seq_q == seq_kv)")
+            "banding assumes (chunked) self-attention: seq_kv must equal "
+            f"q_offset + seq_q, got {k.shape[2]} != {base} + {q.shape[2]}")
     from .flash_forward import flash_forward_with_lse
 
     seq = q.shape[2]
@@ -77,11 +96,21 @@ def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
     rows = seq // n
     outs, lses = [], []
     for i in range(n):
-        width = (i + 1) * rows
+        width_end = base + (i + 1) * rows
+        # Window: the band's lowest row (global pos base + i*rows) sees
+        # nothing below pos - window + 1; clip the slice there, aligned so
+        # the WIDTH stays a multiple of 128 lanes (alignment taken from
+        # width_end, which is a row-count multiple).
+        if cfg.window:
+            lo = max(0, base + i * rows - cfg.window + 1)
+            kv_start = max(0, width_end - -(-(width_end - lo) // 128) * 128)
+        else:
+            kv_start = 0
+        width = width_end - kv_start
         qb = q[:, :, i * rows:(i + 1) * rows, :]
-        kb = k[:, :, :width, :]
-        vb = v[:, :, :width, :]
-        # Whole-prefix KV while the fp32 S tile fits the measured budget;
+        kb = k[:, :, kv_start:width_end, :]
+        vb = v[:, :, kv_start:width_end, :]
+        # Whole-slice KV while the fp32 S tile fits the measured budget;
         # past that the largest fitting divisor (a 2-3 step walk).
         bq = min(cfg.block_q, rows)
         while rows % bq:
@@ -97,7 +126,12 @@ def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
         # hp4 x 32MB S-tile set at width 16K both busts VMEM and
         # serializes the packed chains (sp5/hp4 measured 0.5-1.8 MB past
         # the 64 MB limit; the 16K non-causal champion is sp8+hp1).
-        if bkv >= 12288:
+        if band_rules is not None:
+            # Sweep hook (tools/tune_bands.py): (band_kv_width) ->
+            # (kv_splits target, head_pack target), overriding the
+            # measured defaults below.
+            sp_t, hp_t = band_rules(bkv)
+        elif bkv >= 12288:
             sp_t, hp_t = 8, 1
         elif bkv > 8192:
             sp_t, hp_t = 4, 2
@@ -112,7 +146,8 @@ def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
         while sp > 1 and bkv % (sp * 128):
             sp //= 2
         band_cfg = dataclasses.replace(
-            cfg, block_q=bq, block_kv=bkv, q_offset=i * rows,
+            cfg, block_q=bq, block_kv=bkv,
+            q_offset=base + i * rows - kv_start,
             decompose=False,
             kv_splits=sp,
             head_pack=max(1, min(cfg.head_pack, hp_t)),

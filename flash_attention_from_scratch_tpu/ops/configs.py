@@ -190,13 +190,14 @@ class KernelConfig:
     # (p - window, p]. 0 disables. Requires causal; KV blocks entirely
     # below the window are skipped (FORI: never visited; GRID: predicated).
     window: int = 0
-    # Block-triangular decomposition (plain causal only): dispatch splits
-    # the triangle into non-causal rectangles (run at the whole-KV
-    # single-shot rate, ~2x the best triangle-walking kernel's) plus
-    # half-size causal leaves, LSE-merged like ring attention's partials
-    # (ops/causal_decomp.py). Forward-dispatch only — the merged LSE equals
-    # the monolithic problem's, so the backward runs the standard FA2
-    # kernels on the whole problem. This config is the LEAF config.
+    # Row-band decomposition (causal; composes with window / q_offset /
+    # softcap): dispatch splits the Q rows into horizontal bands, each
+    # running ONE offset-causal whole-KV single-shot call over its visible
+    # KV slice — a clipped prefix under a sliding window — so nearly all
+    # work lands at the chip's best (whole-KV) rate (ops/causal_decomp.py).
+    # Forward-dispatch only — each band's LSE is the full problem's LSE for
+    # its rows, so the backward runs the standard FA2 kernels on the whole
+    # problem. This config is the LEAF config.
     decompose: bool = False
     # Mask elision: skip the iota+compare+select VPU pass on causal blocks
     # that are fully visible (GRID: per-sub-tile pl.when dual-branch; FORI:
@@ -234,11 +235,10 @@ class KernelConfig:
                 "causal + reverse_kv unsupported: the first processed KV block "
                 "must be fully visible for the online-softmax init"
             )
-        if self.decompose and (not self.causal or self.window or self.q_offset
-                               or self.attn_softcap):
+        if self.decompose and not self.causal:
             raise ValueError(
-                "decompose handles plain causal self-attention only "
-                "(window/softcap/q_offset need the monolithic kernels)")
+                "decompose requires causal masking (non-causal shapes are "
+                "already one whole-KV single-shot call)")
         if self.kv_loop == KVLoop.TRI and not self.causal:
             raise ValueError(
                 "kv_loop=TRI enumerates the causal triangle; use GRID for "

@@ -1215,7 +1215,7 @@ def flash_forward(q, k, v, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if cfg.decompose and q.shape[2] == k.shape[2]:
+    if cfg.decompose and k.shape[2] == q.shape[2] + cfg.q_offset:
         fn = _cached_decomposed(cfg, float(scale), interpret)
         if sinks is not None:
             return fn(q, k, v, sinks.astype(jnp.float32))[0]
@@ -1273,7 +1273,7 @@ def flash_forward_with_lse(q, k, v, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if cfg.decompose and q.shape[2] == k.shape[2]:
+    if cfg.decompose and k.shape[2] == q.shape[2] + cfg.q_offset:
         fn = _cached_decomposed(cfg, float(scale), interpret)
         if sinks is not None:
             return fn(q, k, v, sinks.astype(jnp.float32))

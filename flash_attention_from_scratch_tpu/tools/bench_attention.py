@@ -76,15 +76,22 @@ def _kv_blocks_visited(cfg: KernelConfig, seq_q: int, seq_kv: int) -> int:
     num_q = seq_q // cfg.block_q
     num_kv = seq_kv // cfg.block_kv
     if cfg.causal and cfg.decompose:
-        # Row-band decomposition: band i's programs each stream the KV
-        # prefix [0, (i+1)*rows) once (ops/causal_decomp.py).
+        # Row-band decomposition: band i's programs each stream its
+        # visible KV slice once — the prefix [0, (i+1)*rows), clipped from
+        # below by a sliding window (ops/causal_decomp.py geometry).
         from ..ops.causal_decomp import band_count
 
         n = band_count(seq_q)
         rows = seq_q // n
         total = 0.0
         for i in range(n):
-            total += (rows / cfg.block_q) * ((i + 1) * rows / cfg.block_kv)
+            width_end = (i + 1) * rows + cfg.q_offset
+            if cfg.window:
+                lo = max(0, i * rows + cfg.q_offset - cfg.window + 1)
+                width = min(width_end, -(-(width_end - lo) // 128) * 128)
+            else:
+                width = width_end
+            total += (rows / cfg.block_q) * (width / cfg.block_kv)
         return int(total)
     if not (cfg.causal and cfg.kv_loop in (KVLoop.FORI, KVLoop.TRI)):
         return num_q * num_kv
