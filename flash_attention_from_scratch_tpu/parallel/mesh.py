@@ -102,6 +102,9 @@ def llama_param_specs(params) -> dict:
         # projection's N dim.
         "bq": P(MODEL_AXIS), "bk": P(MODEL_AXIS), "bv": P(MODEL_AXIS),
         "bo": P(),  # adds to the (replicated) row-parallel output
+        # GPT-OSS sink logits: per-Q-head, sharded with the head axis like
+        # wq's columns (each shard consumes its local head-slice).
+        "attn_sinks": P(MODEL_AXIS),
         "w_gate": col, "w_up": col, "w_down": row,
         # Fused projections (models.llama.fuse_projections). Column
         # sharding of the concatenated N is semantically fine under GSPMD

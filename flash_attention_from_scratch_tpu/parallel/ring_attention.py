@@ -58,7 +58,7 @@ def _merge(o_a, lse_a, o_b, lse_b):
 
 def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
                          axis: str = "sp", *, causal: bool | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, sinks=None):
     """Flash attention with Q/K/V sequence-sharded over ``mesh[axis]``.
 
     Inputs are global (batch, heads, seq, d_head) arrays; seq is sharded
@@ -66,6 +66,13 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
     ``cfg.causal``. Returns the global attention output, seq-sharded the
     same way. Differentiable: the backward runs its own ring (see
     ``_ring_bwd``).
+
+    ``sinks`` ((heads,) fp32, optional, differentiable): per-head
+    attention-sink logits, replicated over the ring axis. The ring's hops
+    stay sink-free; the sink joins the merged global LSE exactly once,
+    post-ring (the same logaddexp fold the single-chip decomposed dispatch
+    uses) — so every device's rows carry the sink-inclusive LSE and the
+    backward's recomputed P is globally exact.
     """
     from .mesh import mesh_interpret
 
@@ -81,7 +88,8 @@ def ring_flash_attention(q, k, v, cfg: KernelConfig, mesh: Mesh,
             f"ring attention with q_offset (got {cfg.q_offset})")
     if cfg.window and not causal:
         raise ValueError("window requires causal (config invariant)")
-    return _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret)
+    return _ring_attention(q, k, v, sinks, cfg, mesh, axis, causal,
+                           interpret)
 
 
 def _max_hop(window: int, shard_len: int, n_shards: int) -> int:
@@ -114,13 +122,14 @@ def _hop_cfg(base, causal: bool, window: int, t: int, shard_len: int):
         optimized_softmax=False)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _ring_attention(q, k, v, cfg, mesh, axis, causal, interpret):
-    out, _ = _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _ring_attention(q, k, v, sinks, cfg, mesh, axis, causal, interpret):
+    out, _ = _ring_fwd_impl(q, k, v, sinks, cfg, mesh, axis, causal,
+                            interpret)
     return out
 
 
-def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
+def _ring_fwd_impl(q, k, v, sinks, cfg, mesh, axis, causal, interpret):
     n_shards = mesh.shape[axis]
     shard_len = q.shape[2] // n_shards
     base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
@@ -133,9 +142,7 @@ def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
     perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
     hops = _max_hop(cfg.window if causal else 0, shard_len, n_shards)
 
-    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
-             out_specs=(spec, lse_spec), check_rep=False)
-    def _ring(q, k, v):
+    def _ring_body(q, k, v, sinks=None):
         idx = jax.lax.axis_index(axis)
         # Step 0: own shard (the causal diagonal block when causal).
         o, lse = flash_forward_with_lse(q, k, v, diag, interpret=interpret)
@@ -152,14 +159,31 @@ def _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret):
                 # the past iff idx >= t; otherwise mask it out of the merge.
                 lse_t = jnp.where(idx >= t, lse_t, _NEG)
             o, lse = _merge(o, lse, o_t.astype(jnp.float32), lse_t)
+        if sinks is not None:
+            # The sink joins the softmax denominator exactly once, against
+            # the MERGED (global) LSE — same algebra as the single-chip
+            # decomposed dispatch's post-band fold.
+            z = sinks.astype(jnp.float32)[None, :, None]
+            lse_tot = jnp.logaddexp(lse, z)
+            o = o * jnp.exp(lse - lse_tot)[..., None]
+            lse = lse_tot
         return o.astype(q.dtype), lse
 
-    return _ring(q, k, v)
+    if sinks is None:
+        ring = partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=(spec, lse_spec), check_rep=False)(
+            lambda q, k, v: _ring_body(q, k, v))
+        return ring(q, k, v)
+    ring = partial(shard_map, mesh=mesh,
+                   in_specs=(spec, spec, spec, P(None)),
+                   out_specs=(spec, lse_spec), check_rep=False)(_ring_body)
+    return ring(q, k, v, sinks)
 
 
-def _ring_attention_fwd(q, k, v, cfg, mesh, axis, causal, interpret):
-    out, lse = _ring_fwd_impl(q, k, v, cfg, mesh, axis, causal, interpret)
-    return out, (q, k, v, out, lse)
+def _ring_attention_fwd(q, k, v, sinks, cfg, mesh, axis, causal, interpret):
+    out, lse = _ring_fwd_impl(q, k, v, sinks, cfg, mesh, axis, causal,
+                              interpret)
+    return out, (q, k, v, sinks, out, lse)
 
 
 def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
@@ -170,8 +194,14 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
     kernels are the exact partial contributions — no merge algebra. dq
     accumulates in place; dk/dv accumulate on buffers that travel the ring
     *with* their K/V shard, then take one final hop home.
+
+    With sinks the saved LSE is sink-inclusive, so the recomputed P rows
+    sum to ``1 - sink_weight`` exactly as in the forward and the kernel
+    gradients stay exact (ops/autodiff.py's argument). The sink's own
+    gradient is the per-row ``-exp(z - lse) * D`` summed over this
+    device's rows and psummed over the ring.
     """
-    q, k, v, out, lse = res
+    q, k, v, sinks, out, lse = res
     n_shards = mesh.shape[axis]
     shard_len = q.shape[2] // n_shards
     base = dataclasses.replace(cfg, causal=False, window=0, q_offset=0,
@@ -189,10 +219,9 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
     # cut short by a window).
     home = [(s, (s - (hops - 1)) % n_shards) for s in range(n_shards)]
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(spec, spec, spec, spec, lse_spec, spec),
-             out_specs=(spec, spec, spec), check_rep=False)
-    def _ring_bwd(q, k, v, out, lse, do):
+    has_sinks = sinks is not None
+
+    def _bwd_body(q, k, v, out, lse, do, sinks=None):
         idx = jax.lax.axis_index(axis)
         dq = jnp.zeros(q.shape, jnp.float32)
         kk, vv = k, v
@@ -218,9 +247,30 @@ def _ring_attention_bwd(cfg, mesh, axis, causal, interpret, res, g):
         if hops > 1:
             dkk = jax.lax.ppermute(dkk, axis, home)
             dvv = jax.lax.ppermute(dvv, axis, home)
-        return dq.astype(q.dtype), dkk.astype(k.dtype), dvv.astype(v.dtype)
+        grads = (dq.astype(q.dtype), dkk.astype(k.dtype),
+                 dvv.astype(v.dtype))
+        if sinks is None:
+            return grads
+        # d(sink): -exp(z - lse) * D per local row, summed here, psummed
+        # over the ring so every device returns the replicated total.
+        d_row = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                        axis=-1)
+        w = jnp.exp(sinks.astype(jnp.float32)[None, :, None] - lse)
+        dsinks = jax.lax.psum(-jnp.sum(w * d_row, axis=(0, 2)), axis)
+        return grads + (dsinks.astype(sinks.dtype),)
 
-    return _ring_bwd(q, k, v, out, lse, g)
+    if not has_sinks:
+        ring_bwd = partial(
+            shard_map, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, lse_spec, spec),
+            out_specs=(spec, spec, spec), check_rep=False)(
+            lambda q, k, v, out, lse, do: _bwd_body(q, k, v, out, lse, do))
+        return (*ring_bwd(q, k, v, out, lse, g), None)
+    ring_bwd = partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, lse_spec, spec, P(None)),
+        out_specs=(spec, spec, spec, P(None)), check_rep=False)(_bwd_body)
+    return ring_bwd(q, k, v, out, lse, g, sinks)
 
 
 _ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)

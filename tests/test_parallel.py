@@ -37,6 +37,41 @@ def test_shard_mapped_attention_matches_single_device(mesh):
     )
 
 
+def test_shard_mapped_attention_sinks(mesh):
+    """Per-head sinks shard with the head axis (round 5): forward parity
+    and gradients — dsinks needs the dp-axis psum from shard_map's
+    transpose — against the single-device autodiff path."""
+    from flash_attention_from_scratch_tpu.ops.autodiff import flash_attention
+
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    q, k, v = generate_qkv(256, n_heads=4, batch=2, dtype=jnp.bfloat16)
+    z = jnp.linspace(-0.5, 0.75, 4).astype(jnp.float32)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, P("dp", "tp", None, None)))
+    putz = lambda x: jax.device_put(x, NamedSharding(mesh, P("tp")))
+    out_sharded = shard_mapped_attention(put(q), put(k), put(v), cfg, mesh,
+                                         interpret=True, sinks=putz(z))
+    out_single = flash_attention(q, k, v, cfg, True, z)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded, np.float32), np.asarray(out_single, np.float32),
+        atol=8e-3, rtol=2e-2,
+    )
+    do = generate_qkv(256, n_heads=4, batch=2, dtype=jnp.bfloat16, seed=3)[0]
+
+    def loss_sharded(q, k, v, z):
+        return jnp.sum(shard_mapped_attention(
+            q, k, v, cfg, mesh, interpret=True, sinks=z) * put(do))
+
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1, 2, 3))(
+        put(q), put(k), put(v), putz(z))
+    g_single = jax.grad(
+        lambda q, k, v, z: jnp.sum(flash_attention(q, k, v, cfg, True, z)
+                                   * do), argnums=(0, 1, 2, 3))(q, k, v, z)
+    for name, a, b in zip(("q", "k", "v", "sinks"), g_sh, g_single):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=5e-2, err_msg=f"d{name}")
+
+
 def test_sharded_train_step(mesh):
     from flash_attention_from_scratch_tpu.models.llama import LlamaConfig, init_params
     from flash_attention_from_scratch_tpu.models.train import (

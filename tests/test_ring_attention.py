@@ -33,6 +33,7 @@ def test_ring_matches_reference(sp_mesh, causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.slow
 def test_ring_backward(sp_mesh, causal):
     """Ring attention gradients vs jax.grad of the dense reference."""
     from flash_attention_from_scratch_tpu.ops.reference import reference_attention
@@ -84,6 +85,7 @@ def test_ring_sliding_window(sp_mesh, window):
     assert drift < 0.03, f"ring vs single-chip windowed kernel: {drift}"
 
 
+@pytest.mark.slow
 def test_ring_window_backward(sp_mesh):
     """Windowed ring gradients vs jax.grad of the dense reference."""
     from flash_attention_from_scratch_tpu.ops.reference import reference_attention
@@ -127,6 +129,55 @@ def test_ring_window_hop_count():
     assert _max_hop(10**9, 128, 8) == 8      # huge window: clamped
 
 
+def test_ring_sinks(sp_mesh):
+    """GPT-OSS sinks fold into the ring's merged LSE once (round 5 — lifts
+    the r4 'attn_sinks under mesh sharding' NotImplementedError)."""
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    z = jnp.array([0.5, -0.25], jnp.float32)
+    out = ring_flash_attention(q, k, v, cfg, sp_mesh, interpret=True, sinks=z)
+    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True, sinks=z)
+    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
+    assert ok, f"ring sinks: {kerr:.3e} vs baseline {berr:.3e}"
+
+
+@pytest.mark.slow
+def test_ring_sinks_backward(sp_mesh):
+    """Ring gradients with sinks — including d(sinks) psummed over the
+    ring — vs jax.grad of the dense sink-enabled reference."""
+    from flash_attention_from_scratch_tpu.ops.reference import reference_attention
+
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    do = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16, seed=3)[0]
+    z = jnp.array([0.4, -0.3], jnp.float32)
+
+    def loss(q, k, v, z):
+        return jnp.sum(ring_flash_attention(q, k, v, cfg, sp_mesh,
+                                            interpret=True, sinks=z) * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, z)
+
+    def ref_loss(q, k, v, z):
+        return jnp.sum(
+            reference_attention(q, k, v, causal=True, sinks=z) * do)
+
+    ref_g = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(q, k, v, z)
+    ref32 = jax.grad(
+        lambda q, k, v, z: jnp.sum(
+            reference_attention(q, k, v, causal=True, sinks=z)
+            * do.astype(jnp.float32)),
+        argnums=(0, 1, 2, 3),
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32), z)
+    # Same acceptance as the single-chip sink test: d(sink) reconstructs D
+    # from the SAVED bf16 O, so it carries O's rounding (here additionally
+    # the ring merge's) on top of the oracle baseline.
+    from tests.test_backward import _check_sink_grads
+
+    _check_sink_grads(grads, ref_g, ref32)
+
+
+@pytest.mark.slow
 def test_ring_gqa(sp_mesh):
     cfg = KernelConfig(block_q=128, block_kv=128)
     q, _, _ = generate_qkv(512, n_heads=4, batch=1, dtype=jnp.bfloat16)
