@@ -66,9 +66,14 @@ def _hp_for(seq: int) -> int:
 
 
 # Each rung: (label, builder(seq, heads, batch) -> KernelConfig). Rungs are
-# cumulative — each adds exactly one feature to the previous (the two FORI
-# rungs are the ladder's side-quests, same as the reference's shared-memory
-# detours). Builders may return None to skip a shape.
+# cumulative — each adds exactly one feature to the previous — EXCEPT the
+# three side-quest rungs (same as the reference's shared-memory detours):
+# the two FORI rungs (01/06) and 05-reverse-kv. 05 probes the reference's
+# step-13 reversed-walk locality at the small-tile shape where it is
+# measurable; the mainline resumes from 04 at rung 07 without it, because
+# the big-tile rungs' fewer/larger KV steps erase the prefetch-locality
+# edge and the whole-seq rungs (09+) have no walk to reverse at all (see
+# PARITY.md). Builders may return None to skip a shape.
 RUNGS = [
     ("01-naive-fori", lambda s, h, b: KernelConfig(
         block_q=128, block_kv=128, kv_loop=KVLoop.FORI, num_kv_buffers=1,

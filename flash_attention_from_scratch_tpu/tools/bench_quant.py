@@ -21,9 +21,10 @@ This tool closes both halves:
     error from quantization noise.
 
 The chain carry is Q's quantized values; the step re-quantizes the bf16
-output back to the carry dtype (one VPU cast, <0.5% of the attention time
-at seq >= 2048 — and it is the honest serving pattern: a quantized
-pipeline re-quantizes activations between layers).
+output back to the carry dtype at Q's stored scale (scale-mul + round +
+cast, <1% of the attention time at seq >= 2048 — and it is the honest
+serving pattern: a quantized pipeline re-quantizes activations between
+layers).
 
 Usage:
     python -m flash_attention_from_scratch_tpu.tools.bench_quant \
@@ -96,7 +97,8 @@ def bench_quant(seq_lens, heads=16, variants=None, iters=5, log=print):
             # upcast variants get the known-good bf16 shape (each timed
             # point costs an unrolled-chain compile over the tunnel).
             combos = ([(512, 1024, 1), (512, 1024, 2), (512, 2048, 2),
-                       (512, 2048, 4), (512, 4096, 4)]
+                       (512, 2048, 4), (512, 4096, 4), (512, 8192, 8),
+                       (256, 8192, 4)]
                       if name == "int8c" else [(512, 1024, 2)])
             for bq, bkv, ks in combos:
                 if bkv > seq or bq > seq or (bkv // ks) % 128:
@@ -128,12 +130,22 @@ def bench_quant(seq_lens, heads=16, variants=None, iters=5, log=print):
 def _time_variant(cfg, qq, kq, vq, int8_compute, flops, iters):
     if isinstance(qq, QTensor):
         carry = qq.values
+        # Re-quantize the bf16 output back to the carry dtype at Q's scale
+        # (reuse the stored inverse) — the honest serving pattern between
+        # layers. A raw truncating cast would collapse the int8 carry to
+        # ~zero after one step (attention outputs of unit-normal inputs
+        # have magnitude < 1); the rescale is one extra VPU multiply.
+        inv = (1.0 / qq.scales)[:, :, None, None]
+        integer_carry = jnp.issubdtype(qq.values.dtype, jnp.integer)
 
         def step(qv, kv_, vv_):
             out = flash_forward_quantized(
                 QTensor(qv, qq.scales, qq.mode, qq.orig_dtype),
                 kv_, vv_, cfg, int8_compute=int8_compute)
-            return out.astype(qv.dtype)
+            oq = out.astype(jnp.float32) * inv
+            if integer_carry:
+                oq = jnp.clip(jnp.round(oq), -127, 127)
+            return oq.astype(qv.dtype)
     else:
         carry = qq
 
@@ -172,11 +184,11 @@ def numerics_check(seq=1024, heads=4, batch=1, log=print):
             out, ref_deq, ref_fp32, factor=2.0)
         quant_err = float(jnp.max(jnp.abs(
             ref_deq.astype(jnp.float32) - ref_fp32)))
-        # int8-compute adds the P-quantization step on top of dequant
-        # noise; its acceptance bound is 2x the dequant-oracle's own
-        # distance from fp32 (quantization noise), not the bf16 ulp.
-        if i8c and not ok:
-            ok = kerr <= 2.0 * max(quant_err, berr)
+        # No relaxed second rule: quant_err equals the baseline the
+        # adaptive check already uses, so a 2*max(quant_err, berr) fallback
+        # could never flip a failure (advisor r4). The int8-compute path's
+        # extra P-quantization rounding must fit inside the official 2x
+        # headroom or be reported as a failure with the raw errors below.
         out_rows.append(dict(variant=name, mode=mode, seq=seq,
                              adaptive_ok=bool(ok),
                              kernel_err=round(kerr, 6),

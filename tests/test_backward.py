@@ -187,6 +187,37 @@ def test_fused_matches_split(causal, gqa):
         assert diff < 0.05, f"d{name} split-vs-fused: {diff}"
 
 
+def test_fused_q_splits():
+    """The fused kernel's q_splits sub-tiling (the production default at
+    seq >= 2048) must match splits=1 — pinned at a small shape by passing
+    splits=2 explicitly (advisor r4: the default path was untested)."""
+    import math
+
+    from flash_attention_from_scratch_tpu.ops.flash_backward import (
+        make_flash_backward_fused,
+    )
+
+    seq, heads, batch = 512, 2, 1
+    q, k, v = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16)
+    do = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16,
+                      seed=2)[0]
+    cfg = KernelConfig(block_q=256, block_kv=256, causal=True)
+    o, lse = flash_forward_with_lse(q, k, v, cfg, interpret=True)
+    scale = 1.0 / math.sqrt(128)
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    outs = []
+    for sp in (1, 2):
+        call = make_flash_backward_fused(
+            cfg, batch, heads, seq, seq, heads, scale, True,
+            block_q=256, block_kv=256, splits=sp)
+        outs.append(call(q, k, v, do, lse[:, :, None, :],
+                         dsum[:, :, None, :]))
+    for name, a, b in zip("qkv", *outs):
+        diff = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                     - b.astype(jnp.float32))))
+        assert diff < 0.05, f"d{name} sp1-vs-sp2: {diff}"
+
+
 def test_lse_matches_reference():
     """LSE residual equals log-sum-exp of the scaled scores."""
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
