@@ -70,6 +70,7 @@ def test_hbm_bytes_gqa_scales_kv_only():
     assert full - qo == 4 * (gqa - qo)  # KV bytes scale with kv_heads
 
 
+@pytest.mark.slow
 def test_bench_grad_mode_smoke():
     """fwd+bwd chain runs and reports a positive number (CPU interpret)."""
     cfg = KernelConfig(block_q=128, block_kv=128)

@@ -52,6 +52,7 @@ def test_chunked_matches_one_shot_dense(params, prompt_len):
         assert diff < 0.05, diff
 
 
+@pytest.mark.slow
 def test_chunked_prefill_int8_decode_continues(params):
     """Quantized cache: chunked prefill + decode stays near the dense path.
 
@@ -88,6 +89,7 @@ def test_chunk_tokens_validation(params):
                         chunk_tokens=96, interpret=True)
 
 
+@pytest.mark.slow
 def test_server_with_chunked_prefill(params):
     """The serving loop routes admissions through prefill_chunked."""
     from flash_attention_from_scratch_tpu.serving.generate import (

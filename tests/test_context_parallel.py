@@ -52,6 +52,7 @@ def test_cp_windowed_loss_matches_single(sp_mesh):
     assert abs(base - full) > 1e-4 or wcfg.sliding_window >= 512
 
 
+@pytest.mark.slow
 def test_cp_train_step_decreases_loss(sp_mesh):
     params = init_params(CFG, jax.random.PRNGKey(0))
     opt = make_optimizer(lr=1e-2)

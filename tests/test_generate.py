@@ -71,6 +71,7 @@ def test_server_matches_naive(params, mode):
         _check_greedy_path(params, p, got[sid], slack)
 
 
+@pytest.mark.slow
 def test_server_attn_int8(params):
     """int8-compute attention through the full serving loop (chunked)."""
     prompts = {1: list(range(10, 30)), 2: list(range(40, 45))}
@@ -90,6 +91,7 @@ def test_server_attn_int8(params):
                          max_batch=2, attn_int8=True)
 
 
+@pytest.mark.slow
 def test_server_tensor_parallel():
     """Full serving loop tensor-parallel over a 2-device mesh."""
     from flash_attention_from_scratch_tpu.parallel.mesh import make_mesh
@@ -177,6 +179,7 @@ def test_chunked_matches_stepwise_sampled(params):
     assert runs[1] == runs[5], runs
 
 
+@pytest.mark.slow
 def test_chunked_uneven_budgets(params):
     """Chunk must clamp to the smallest remaining budget, then finish all."""
     server = GenerationServer(params, CFG, num_pages=32, page_size=64,

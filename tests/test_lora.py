@@ -96,6 +96,7 @@ def test_lora_validation(setup):
         server.submit(1, [1, 2, 3], 2, adapter=0)
 
 
+@pytest.mark.slow
 def test_zero_b_is_identity(setup):
     """Freshly initialized adapters (B = 0) must not change the model."""
     params, _ = setup
