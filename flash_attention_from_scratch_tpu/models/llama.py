@@ -115,9 +115,9 @@ class LlamaConfig:
         windows: a window only clips each band's KV slice from below, so
         windowed layers >= 4K route through the same decomposition
         (profiles/window_v5e.csv); short windowed shapes keep the round-3
-        monolithic policy. The TRI pair-grid and mask elision measured
-        strictly worse and stay off (see VERDICT r3 #1 /
-        profiles/causal_llama_r4.csv).
+        monolithic policy. Mask elision measured strictly worse and
+        stays off; the TRI pair-grid measured worse too and was removed
+        in round 5 (see profiles/causal_llama_r4.csv).
         """
 
         def largest_divisor_block(limit: int, quantum: int) -> int:

@@ -95,18 +95,18 @@ class KVLoop(enum.Enum):
     pipeline from HBM refs — the "hand-rolled" rung of the ladder, and the
     shape needed for causal early-exit and ring attention.
 
-    TRI (causal only): ONE flat ``arbitrary`` grid dimension enumerating
-    exactly the visible (q_block, kv_block) pairs, with scalar-prefetched
-    index maps (the pair -> block tables ride SMEM ahead of the grid).
-    Combines FORI's DMA frugality (above-diagonal blocks are never fetched)
-    with GRID's deep cross-program Pallas pipeline (no per-Q-block DMA
-    warmup, fixed cost amortized over the whole triangle) — the round-4
-    causal-throughput kernel.
+    A third variant — TRI, a flat grid enumerating exactly the visible
+    causal (q_block, kv_block) pairs via scalar-prefetched index tables —
+    was built and measured in round 4 and REMOVED in round 5: it reached
+    only 89.9 TFLOP/s hm at Llama shapes vs the row-band decomposition's
+    152.5 (profiles/causal_llama_r4.csv, the `tri2` rows) because its
+    per-pair online-softmax chain still serializes QK -> exp -> PV at
+    small KV tiles; no shape where it wins was found. The measurement and
+    design are documented in PARITY.md §2.5.
     """
 
     GRID = "grid"
     FORI = "fori"
-    TRI = "tri"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -239,11 +239,6 @@ class KernelConfig:
             raise ValueError(
                 "decompose requires causal masking (non-causal shapes are "
                 "already one whole-KV single-shot call)")
-        if self.kv_loop == KVLoop.TRI and not self.causal:
-            raise ValueError(
-                "kv_loop=TRI enumerates the causal triangle; use GRID for "
-                "non-causal shapes (the full rectangle has nothing to skip)"
-            )
         if self.q_offset < 0:
             raise ValueError(f"q_offset must be >= 0: {self.q_offset}")
         if self.q_offset and not self.causal:
@@ -491,7 +486,7 @@ class KernelConfig:
 
 _SHORT_RE = re.compile(
     r"fa_(?P<dtype>[a-z0-9]+)_q(?P<bq>\d+)_kv(?P<bkv>\d+)_d(?P<d>\d+)"
-    r"_(?P<loop>grid|fori|tri)(?P<nbuf>\d+)_(?P<flags>[a-z0-9+]+)"
+    r"_(?P<loop>grid|fori)(?P<nbuf>\d+)_(?P<flags>[a-z0-9+]+)"
 )
 
 

@@ -558,247 +558,6 @@ def _build_grid_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
     )
 
 
-# ---------------------------------------------------------------------------
-# TRI variant (causal only): one flat `arbitrary` grid dimension enumerating
-# exactly the visible (q_block, kv_block) pairs; pair -> block tables ride
-# SMEM via scalar prefetch so the Pallas pipeline prefetches the next
-# visible KV block while the current pair computes.
-#
-# Why a third kernel: GRID's rectangular grid DMAs every above-diagonal
-# block it predicates away (~2x KV traffic and ~2x grid steps for plain
-# causal), while FORI's per-program fori_loop walk is only 1-4 blocks long
-# at model shapes — too short to hide the pipeline warmup, and its fixed
-# cost is paid per Q block. The triangle enumeration gives both halves:
-# only visible blocks are ever fetched, and the pipeline runs the whole
-# triangle as one deep stream.
-# ---------------------------------------------------------------------------
-
-
-def _tri_entry(cfg, scale, group, has_sinks, return_lse, *refs):
-    """Ref order: scalar prefetch (qi, ki, first, last), inputs, outputs,
-    scratch."""
-    qi_ref, ki_ref, first_ref, last_ref = refs[:4]
-    q_ref, k_ref, v_ref = refs[4:7]
-    i = 7
-    sinks_ref = refs[i] if has_sinks else None
-    i += 1 if has_sinks else 0
-    o_ref = refs[i]
-    lse_ref = refs[i + 1] if return_lse else None
-    acc_ref, m_ref, l_ref = refs[-3:]
-
-    p = pl.program_id(2)
-    head0 = pl.program_id(1) * cfg.head_pack
-    qi = qi_ref[p]
-    kv_start = ki_ref[p] * cfg.block_kv
-    is_first = first_ref[p] == 1
-    is_last = last_ref[p] == 1
-    q_span = qi * cfg.block_q + cfg.q_offset
-
-    for g in range(cfg.head_pack):
-        q_full = q_ref[0, g]
-        if cfg.scale_q:
-            c = (scale * LOG2E) if cfg.use_exp2 else scale
-            q_full = (q_full.astype(jnp.float32) * c).astype(q_full.dtype)
-        k = k_ref[0, g // group]
-        v = v_ref[0, g // group]
-        base = g * cfg.block_q
-
-        sub = cfg.block_q // cfg.q_splits
-        for i2 in range(cfg.q_splits):
-            rows = slice(base + i2 * sub, base + (i2 + 1) * sub)
-            q = q_full[i2 * sub:(i2 + 1) * sub]
-            sub_span = q_span + i2 * sub
-
-            if cfg.kv_splits > 1:
-                def attend(m, l, acc, q=q, k=k, v=v, sub_span=sub_span):
-                    return _attend_block_split(
-                        cfg, scale, q, k, v, sub_span, kv_start, m, l, acc)
-            else:
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_mm_precision(cfg),
-                )
-
-                def attend(m, l, acc, s=s, v=v, sub_span=sub_span):
-                    return _attend_block(
-                        cfg, scale, s, v, sub_span, kv_start, m, l, acc)
-
-            if cfg.optimized_softmax:
-                @pl.when(is_first)
-                def _(attend=attend, rows=rows):
-                    m, l, acc = attend(None, None, None)
-                    m_ref[rows, :] = m
-                    l_ref[rows, :] = l
-                    acc_ref[rows, :] = acc
-
-                @pl.when(jnp.logical_not(is_first))
-                def _(attend=attend, rows=rows):
-                    m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
-                                       acc_ref[rows, :])
-                    m_ref[rows, :] = m
-                    l_ref[rows, :] = l
-                    acc_ref[rows, :] = acc
-            else:
-                @pl.when(is_first)
-                def _(rows=rows):
-                    m_ref[rows, :] = jnp.full((sub, _STATS_LANES),
-                                              MASK_VALUE, jnp.float32)
-                    l_ref[rows, :] = jnp.zeros((sub, _STATS_LANES),
-                                               jnp.float32)
-                    acc_ref[rows, :] = jnp.zeros((sub, acc_ref.shape[1]),
-                                                 jnp.float32)
-
-                m, l, acc = attend(m_ref[rows, :], l_ref[rows, :],
-                                   acc_ref[rows, :])
-                m_ref[rows, :] = m
-                l_ref[rows, :] = l
-                acc_ref[rows, :] = acc
-
-    @pl.when(is_last)
-    def _():
-        for g in range(cfg.head_pack):
-            rows = slice(g * cfg.block_q, (g + 1) * cfg.block_q)
-            m_col = m_ref[rows, :1]
-            l_col = l_ref[rows, :1]
-            acc = acc_ref[rows, :]
-            if sinks_ref is not None:
-                acc, l_col, m_col = _sink_merge(cfg, sinks_ref[head0 + g],
-                                                m_col, l_col, acc)
-            o_ref[0, g] = (acc / l_col).astype(o_ref.dtype)
-            if lse_ref is not None:
-                if cfg.use_exp2:
-                    lse = (m_col + jnp.log2(l_col)) * (1.0 / LOG2E)
-                else:
-                    lse = m_col + jnp.log(l_col)
-                lse_ref[0, g] = lse
-
-
-def _tri_pairs(cfg: KernelConfig, num_q: int, num_kv: int):
-    """Static enumeration of visible (q_block, kv_block) pairs, row-major.
-
-    Row-major (qi outer, ki ascending) keeps the output window parked on
-    one Q block until its row completes — exactly one flush per row.
-    Sliding windows shrink each row from below, offset-causal shifts the
-    diagonal. Returns four int32 NUMPY arrays (qi, ki, first-in-row,
-    last-in-row) — plain host constants, NOT jnp arrays: the builder's
-    closure is lru-cached across jit traces, and a jnp.asarray created
-    inside one trace would leak its tracer into the next.
-    """
-    import numpy as _np
-
-    qi_l, ki_l, first_l, last_l = [], [], [], []
-    for qi in range(num_q):
-        q_span = qi * cfg.block_q + cfg.q_offset
-        last_excl = min((q_span + cfg.block_q + cfg.block_kv - 1)
-                        // cfg.block_kv, num_kv)
-        first = (max(q_span - cfg.window + 1, 0) // cfg.block_kv
-                 if cfg.window else 0)
-        ks = list(range(first, max(last_excl, first + 1)))
-        for j, ki in enumerate(ks):
-            qi_l.append(qi)
-            ki_l.append(ki)
-            first_l.append(1 if j == 0 else 0)
-            last_l.append(1 if j == len(ks) - 1 else 0)
-
-    return (_np.array(qi_l, _np.int32), _np.array(ki_l, _np.int32),
-            _np.array(first_l, _np.int32), _np.array(last_l, _np.int32))
-
-
-def _build_tri_call(cfg: KernelConfig, scale: float, batch: int, heads: int,
-                    seq_q: int, seq_kv: int, interpret: bool,
-                    debug: bool = False, kv_heads: int | None = None,
-                    return_lse: bool = False, has_sinks: bool = False):
-    if not cfg.causal:
-        raise ValueError("TRI kernel is causal-only")
-    num_q = seq_q // cfg.block_q
-    num_kv = seq_kv // cfg.block_kv
-    d = cfg.d_head
-    hp = cfg.head_pack
-    group = heads // (kv_heads or heads)
-    if hp > 1:
-        # Same degrade rule as GRID: packed Q heads must cover whole KV
-        # heads so the shared KV tile stays index-map addressable.
-        while hp > 1 and (heads % hp
-                          or (group > 1 and group % hp and hp % group)):
-            hp //= 2
-        if hp != cfg.head_pack:
-            import dataclasses
-
-            cfg = dataclasses.replace(cfg, head_pack=hp)
-    kv_pack = max(1, hp // group)
-    qi_arr, ki_arr, first_arr, last_arr = _tri_pairs(cfg, num_q, num_kv)
-    n_pairs = int(qi_arr.shape[0])
-
-    def q_index(b, h, p, qi_r, ki_r, f_r, l_r):
-        return (b, h, qi_r[p], 0)
-
-    def kv_index(b, h, p, qi_r, ki_r, f_r, l_r):
-        return (b, (h * hp) // (group * kv_pack), ki_r[p], 0)
-
-    in_specs = [
-        pl.BlockSpec((1, hp, cfg.block_q, d), q_index,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kv_pack, cfg.block_kv, d), kv_index,
-                     memory_space=pltpu.VMEM),
-    ]
-    if has_sinks:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-
-    out_dtype = cfg.resolved_out_dtype.jnp_dtype
-    out_specs = pl.BlockSpec((1, hp, cfg.block_q, d), q_index,
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((batch, heads, seq_q, d), out_dtype)
-    if return_lse:
-        out_specs = (out_specs,
-                     pl.BlockSpec((1, hp, cfg.block_q, 1), q_index,
-                                  memory_space=pltpu.VMEM))
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((batch, heads, seq_q, 1),
-                                          jnp.float32))
-
-    kernel = functools.partial(_tri_entry, cfg, scale, group, has_sinks,
-                               return_lse)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(batch, heads // hp, n_pairs),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((hp * cfg.block_q, d), jnp.float32),
-            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),
-            pltpu.VMEM((hp * cfg.block_q, _STATS_LANES), jnp.float32),
-        ],
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=cfg.vmem_limit_mb * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            # Visible pairs only: the whole point of the enumeration.
-            flops=int(batch * heads * (4 * d + 6)
-                      * (seq_q * (seq_q + 1) // 2)),
-            bytes_accessed=(batch * heads * 2 * seq_q * d * cfg.dtype.bytes
-                            + batch * (heads // hp) * kv_pack * n_pairs
-                            * 2 * cfg.block_kv * d * cfg.dtype.bytes),
-            transcendentals=batch * heads * seq_q * seq_q // 2,
-        ),
-        interpret=interpret,
-        debug=debug,
-    )
-
-    def run(q, k, v, *extra):
-        return call(qi_arr, ki_arr, first_arr, last_arr, q, k, v, *extra)
-
-    return run
-
-
 def _fori_entry(cfg, scale, num_kv, group, has_sinks, return_lse, *refs):
     """Ref-order shim: pallas passes inputs, then outputs, then scratch.
 
@@ -1110,10 +869,6 @@ def make_flash_forward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
     if cfg.kv_loop == KVLoop.GRID:
         return _build_grid_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
                                 debug, kv_heads, return_lse, has_sinks)
-    if cfg.kv_loop == KVLoop.TRI:
-        return _build_tri_call(cfg, scale, batch, heads, seq_q, seq_kv,
-                               interpret, debug, kv_heads, return_lse,
-                               has_sinks)
     return _build_fori_call(cfg, scale, batch, heads, seq_q, seq_kv, interpret,
                             debug, kv_heads, return_lse, has_sinks)
 

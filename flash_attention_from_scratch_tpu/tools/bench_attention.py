@@ -93,7 +93,7 @@ def _kv_blocks_visited(cfg: KernelConfig, seq_q: int, seq_kv: int) -> int:
                 width = width_end
             total += (rows / cfg.block_q) * (width / cfg.block_kv)
         return int(total)
-    if not (cfg.causal and cfg.kv_loop in (KVLoop.FORI, KVLoop.TRI)):
+    if not (cfg.causal and cfg.kv_loop == KVLoop.FORI):
         return num_q * num_kv
     total = 0
     for qi in range(num_q):

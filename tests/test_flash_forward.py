@@ -500,63 +500,6 @@ def test_attn_softcap(kv_loop, scale_q):
     assert diff > 1e-3, diff
 
 
-# -- TRI kernel (triangle-enumerated causal grid) -----------------------------
-
-
-@pytest.mark.parametrize("window", [0, 200])
-def test_tri_kernel(window):
-    """TRI enumerates exactly the visible (q, kv) block pairs via scalar
-    prefetch; numerics must match the reference for causal and windowed."""
-    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
-                       kv_loop=KVLoop.TRI, window=window,
-                       optimized_softmax=not window)
-    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
-    out = flash_forward(q, k, v, cfg)
-    ref_native, ref_fp32 = reference_pair(q, k, v, causal=True, window=window)
-    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
-    assert ok, f"tri window={window}: {kerr:.3e} vs {berr:.3e}"
-
-
-def test_tri_gqa_head_pack_lse():
-    """TRI with GQA group packing and the LSE residual (training path)."""
-    from flash_attention_from_scratch_tpu.ops.flash_forward import (
-        flash_forward_with_lse,
-    )
-
-    q, _, _ = generate_qkv(512, n_heads=4, batch=1, dtype=jnp.bfloat16)
-    _, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16,
-                           seed=1)
-    tri = KernelConfig(block_q=128, block_kv=128, causal=True,
-                       kv_loop=KVLoop.TRI, head_pack=2, q_splits=2)
-    grid = KernelConfig(block_q=128, block_kv=128, causal=True)
-    o_t, l_t = flash_forward_with_lse(q, k, v, tri)
-    o_g, l_g = flash_forward_with_lse(q, k, v, grid)
-    assert float(jnp.max(jnp.abs(l_t - l_g))) < 1e-3
-    assert float(jnp.max(jnp.abs(o_t.astype(jnp.float32)
-                                 - o_g.astype(jnp.float32)))) < 1e-2
-
-
-def test_tri_offset_causal():
-    """Offset-causal (chunked prefill) shifts the TRI pair enumeration."""
-    q, k, v = generate_qkv(512, n_heads=2, batch=1, dtype=jnp.bfloat16)
-    qc = q[:, :, 256:, :]
-    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
-                       kv_loop=KVLoop.TRI, q_offset=256)
-    out = flash_forward(qc, k, v, cfg)
-    ref_native, ref_fp32 = reference_pair(qc, k, v, causal=True, q_offset=256)
-    ok, kerr, berr = adaptive_tolerance_check(out, ref_native, ref_fp32)
-    assert ok, f"tri offset: {kerr:.3e} vs {berr:.3e}"
-
-
-def test_tri_requires_causal():
-    with pytest.raises(ValueError):
-        KernelConfig(block_q=128, block_kv=128, kv_loop=KVLoop.TRI)
-    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
-                       kv_loop=KVLoop.TRI)
-    from flash_attention_from_scratch_tpu.ops.configs import parse_short_form
-    assert parse_short_form(cfg.short_form()) == cfg
-
-
 # -- block-triangular causal decomposition (cfg.decompose) --------------------
 
 
