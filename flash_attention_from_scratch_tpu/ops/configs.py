@@ -293,9 +293,16 @@ class KernelConfig:
     # levers trade off by shape: head_pack dominates while VMEM allows
     # whole extra heads, q_splits is nearly free everywhere, kv_splits
     # takes over once the S tile is big enough to slice lane-aligned.
+    # Round-5 re-measurement (profiles/autotune_r5_shortseq.csv /
+    # autotune_r5_seq1024.csv): the round-4 fold_batch lever does NOT move
+    # the short-seq corner — at 512 the fb champion beats non-fb by 1.2
+    # TFLOP/s (132.8 vs 131.6, inside trial noise), at 1024 fb measures
+    # -2 to -4, and hp32+fb fails to compile. The 512 rung is shape
+    # physics: a softmax-free XLA matmul chain at that shape sustains only
+    # ~181, and the kernel holds ~73% of that shape ceiling.
     _SWEEP_TABLE = (
-        (512,   (512, 1, 2, 16)),   # 136.6 TFLOP/s
-        (1024,  (512, 1, 1, 8)),    # 181.8
+        (512,   (512, 1, 2, 16)),   # 136.6 TFLOP/s (r5: 131.6-132.8)
+        (1024,  (512, 1, 1, 8)),    # 181.8 (r5: 178.5)
         (2048,  (1024, 1, 2, 4)),   # 185.8
         (4096,  (512, 2, 2, 2)),    # 188.5 (autotune_r4: hp2 tops 3 of 5)
         (8192,  (512, 4, 2, 2)),    # 188.9
