@@ -49,13 +49,16 @@ __all__ = ["causal_forward_banded", "band_count"]
 
 
 def band_count(seq: int, band_rows: int = 512) -> int:
-    """Bands of ~band_rows rows; clamped to [1, 16] and to divisors.
+    """Bands of ~band_rows rows; clamped to [1, 32] and to divisors.
 
-    More bands shave the diagonal overshoot (ratio (n+1)/n ... -> 1) but
-    add per-call fixed cost and one extra compile per distinct width;
-    bands of 512-1024 rows measured best on v5e.
+    More bands shave the diagonal overshoot (ratio (n+1)/n -> 1) but add
+    per-call fixed cost and one extra compile per distinct width. 512-row
+    bands measured best on v5e at every length — the round-4 clamp to 16
+    bands silently widened 16K's bands to 1024 rows and cost 25 TFLOP/s
+    (152.9 vs 177.5-179.9 with 32 true 512-row bands,
+    profiles/causal_llama_r5.csv — the round-4 "16K dip" in full).
     """
-    n = max(1, min(16, seq // band_rows))
+    n = max(1, min(32, seq // band_rows))
     while seq % n:
         n -= 1
     return n
@@ -131,9 +134,11 @@ def causal_forward_banded(q, k, v, cfg: KernelConfig, *,
             # (kv_splits target, head_pack target), overriding the
             # measured defaults below.
             sp_t, hp_t = band_rules(bkv)
-        elif bkv >= 12288:
-            sp_t, hp_t = 8, 1
         elif bkv > 8192:
+            # sp4 + hp2 through the widest bands: the round-4 sp8+hp1
+            # fallback at >= 12288 (taken from the non-causal sweep)
+            # measured 2.5 TFLOP/s worse at band granularity
+            # (causal_llama_r5.csv: 179.9 sp4hp2 vs 177.5 at seq 16384).
             sp_t, hp_t = 4, 2
         elif bkv >= 4096:
             # sp2 + the caller's packing measured best through width 8192

@@ -636,9 +636,103 @@ def _cached_backward(cfg: KernelConfig, batch: int, heads: int, seq_q: int,
     return jax.jit(run)
 
 
+def _bwd_band_count(seq: int, band_rows: int = 1024) -> int:
+    """Row-band count for the banded causal backward.
+
+    1024-row bands keep each call's tiles at the fused kernel's measured
+    sweet spot (fused_1024, profiles/backward_causal_r5.csv) while the
+    visited/visible ratio (n+1)/n stays <= 1.125 from seq 8192 up."""
+    n = max(1, min(16, seq // band_rows))
+    while seq % n:
+        n -= 1
+    return n
+
+
+@functools.lru_cache(maxsize=128)
+def _cached_banded_backward(cfg: KernelConfig, batch: int, heads: int,
+                            seq: int, kv_heads: int, scale: float,
+                            interpret: bool, bands: int):
+    """Row-band decomposition of the CAUSAL fused backward — MEASURED LOSS.
+
+    Built and measured in round 5 on the hypothesis that the forward's
+    banding win transfers: Q row band i runs ONE non-causal fused call
+    over its strictly-past KV prefix plus one causal fused call on its
+    diagonal square; prefix dK/dV partials accumulate in fp32. It does
+    NOT transfer (profiles/backward_banded_r5.csv vs backward_causal_r5):
+    102.2/114.9/125.4 fwd+bwd TFLOP/s at seq 4096/8192/16384 vs the
+    monolithic fused kernel's 108.4/119.9/127.9. The forward's banding
+    pays because an online-SOFTMAX chain serializes small-tile walks; the
+    backward has no online softmax — its per-pair work is independent
+    given the LSE, so the monolithic kernel's predication already skips
+    invisible pairs' compute, and banding's per-call ramps, small diagonal
+    squares, and dK/dV accumulation traffic cost more than the remaining
+    grid/DMA slack. Kept reachable via ``flash_backward(..., bands=n)``
+    for re-measurement on other chips; never dispatched by default.
+
+    Exactness: each call receives the rows' GLOBAL LSE, so its recomputed
+    P block equals the true softmax weights of that (rows, cols) rectangle
+    — the same argument that makes the ring backward exact per hop
+    (parallel/ring_attention.py).
+    """
+    rows = seq // bands
+    group = heads // kv_heads
+    d = cfg.d_head
+    import dataclasses as _dc
+
+    diag_cfg = _dc.replace(cfg, q_offset=0, decompose=False)
+    rect_cfg = _dc.replace(cfg, causal=False, q_offset=0, window=0,
+                           decompose=False)
+    bq = min(1024, rows)
+    while rows % bq:
+        bq //= 2
+    diag_call = make_flash_backward_fused(
+        diag_cfg, batch, heads, rows, rows, kv_heads, scale, interpret,
+        block_q=bq, block_kv=min(1024, rows))
+    rect_calls = {}
+    for i in range(1, bands):
+        w = i * rows
+        bkv = min(2048, w)
+        while w % bkv:
+            bkv -= 128
+        rect_calls[w] = make_flash_backward_fused(
+            rect_cfg, batch, heads, rows, w, kv_heads, scale, interpret,
+            block_q=bq, block_kv=bkv)
+
+    def run(q, k, v, o, lse, do):
+        do = do.astype(q.dtype)
+        dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                       axis=-1)
+        lse_r = lse[:, :, None, :]
+        dsum_r = dsum[:, :, None, :]
+        dq_parts = []
+        dk_acc = jnp.zeros((batch, kv_heads, seq, d), jnp.float32)
+        dv_acc = jnp.zeros_like(dk_acc)
+        for i in range(bands):
+            sl = slice(i * rows, (i + 1) * rows)
+            qb, ob, dob = q[:, :, sl], o[:, :, sl], do[:, :, sl]
+            lse_b, dsum_b = lse_r[:, :, :, sl], dsum_r[:, :, :, sl]
+            dq_d, dk_d, dv_d = diag_call(
+                qb, k[:, :, sl], v[:, :, sl], dob, lse_b, dsum_b)
+            dq_i = dq_d.astype(jnp.float32)
+            dk_acc = dk_acc.at[:, :, sl].add(dk_d.astype(jnp.float32))
+            dv_acc = dv_acc.at[:, :, sl].add(dv_d.astype(jnp.float32))
+            if i:
+                w = i * rows
+                dq_p, dk_p, dv_p = rect_calls[w](
+                    qb, k[:, :, :w], v[:, :, :w], dob, lse_b, dsum_b)
+                dq_i = dq_i + dq_p.astype(jnp.float32)
+                dk_acc = dk_acc.at[:, :, :w].add(dk_p.astype(jnp.float32))
+                dv_acc = dv_acc.at[:, :, :w].add(dv_p.astype(jnp.float32))
+            dq_parts.append(dq_i.astype(q.dtype))
+        return (jnp.concatenate(dq_parts, axis=2),
+                dk_acc.astype(k.dtype), dv_acc.astype(v.dtype))
+
+    return jax.jit(run)
+
+
 def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
                    scale: float | None = None, interpret: bool | None = None,
-                   fused: bool | None = None):
+                   fused: bool | None = None, bands: int | None = None):
     """Gradients (dq, dk, dv) of ``flash_forward`` from saved (O, LSE).
 
     Inputs mirror the forward: q (b, h, s_q, d), k/v (b, h_kv, s_kv, d); ``o``
@@ -650,6 +744,11 @@ def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
     fused whenever the whole-sequence dK/dV accumulators fit VMEM
     (:func:`fused_backward_fits`); the split kernels remain the long-context
     fallback.
+
+    ``bands`` (explicit only) routes plain-causal self-attention through
+    the row-band decomposition — a round-5 MEASURED LOSS kept for
+    re-measurement; see :func:`_cached_banded_backward`. The model's
+    ``decompose`` configs deliberately do NOT trigger it.
     """
     if cfg is None:
         cfg = KernelConfig.for_shape(
@@ -660,6 +759,16 @@ def flash_backward(q, k, v, o, lse, do, cfg: KernelConfig | None = None, *,
         scale = 1.0 / math.sqrt(cfg.d_head)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    seq = q.shape[2]
+    if (bands is not None and bands > 1 and cfg.causal and not cfg.window
+            and not cfg.q_offset and seq == k.shape[2]
+            and fused is not False
+            and fused_backward_fits(seq - seq // bands, cfg.d_head,
+                                    cfg.vmem_limit_mb)):
+        fn = _cached_banded_backward(
+            cfg, q.shape[0], q.shape[1], seq, k.shape[1], float(scale),
+            interpret, bands)
+        return fn(q, k, v, o, lse, do)
     if fused is None:
         fused = fused_backward_fits(k.shape[2], cfg.d_head, cfg.vmem_limit_mb)
     fn = _cached_backward(cfg, q.shape[0], q.shape[1], q.shape[2], k.shape[2],

@@ -59,14 +59,19 @@ def bench_backward(seq_lens, heads=16, kv_heads=None, causal=False,
     kv_heads = kv_heads or heads
     mm = measured_matmul_tflops()
     rows = []
-    variants = variants or [
+    variants = variants or ([
         # (label, fused, block_q, block_kv, splits)
         ("split_2048", False, 2048, 2048, None),   # round-3 baseline
         ("fused_512", True, 512, 512, None),
         ("fused_1024", True, 1024, 1024, None),
         ("fused_2048", True, 2048, 2048, None),
         ("fused_1024_qs2", True, 1024, 1024, 2),
-    ]
+    ] + ([
+        # Round-5 banded causal backward; the last column is band_rows
+        # (None = the _bwd_band_count default of 1024).
+        ("banded", "banded", None, None, None),
+        ("banded_2048", "banded", None, None, 2048),
+    ] if causal else []))
     for seq in seq_lens:
         batch = BATCH_SIZE_FOR_SEQ_LEN.get(seq, 4)
         q, _, _ = generate_qkv(seq, n_heads=heads, batch=batch,
@@ -88,9 +93,33 @@ def bench_backward(seq_lens, heads=16, kv_heads=None, causal=False,
             )
 
             scale = 1.0 / math.sqrt(128)
-            kw = dict(block_q=min(bq, seq), block_kv=min(bkv, seq),
-                      splits=splits)
-            if fused:
+            if fused == "banded":
+                import dataclasses as _dc
+
+                from ..ops.flash_backward import flash_backward
+
+                band_rows = splits or 1024
+                if seq // band_rows < 2:
+                    continue
+                dcfg = _dc.replace(cfg, causal=True, decompose=True,
+                                   window=0, q_offset=0)
+                bands = max(2, seq // band_rows)
+
+                def step(do_, q_, k_, v_, o_, lse_, dsum_, dcfg=dcfg,
+                         bands=bands):
+                    dq, dk, dv = flash_backward(
+                        q_, k_, v_, o_, lse_[:, :, 0, :], do_, dcfg,
+                        interpret=False, bands=bands)
+                    return (do_ + dq * 1e-9
+                            + (dk[0, 0, 0, 0] + dv[0, 0, 0, 0]) * 1e-9)
+
+                kw = None
+            else:
+                kw = dict(block_q=min(bq, seq), block_kv=min(bkv, seq),
+                          splits=splits)
+            if kw is None:
+                pass
+            elif fused:
                 call = make_flash_backward_fused(
                     cfg, batch, heads, seq, seq, kv_heads, scale, False, **kw)
 

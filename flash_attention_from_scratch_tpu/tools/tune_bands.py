@@ -70,6 +70,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--rules", default=None,
                     help="comma list from: " + ",".join(RULES))
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding window (bands clip their KV slice; the "
+                         "16K windowed dip is band-count-sensitive)")
     ap.add_argument("--band-rows", default="512,1024,2048")
     ap.add_argument("--block-q", default="256,512")
     ap.add_argument("--csv", default=None)
@@ -87,7 +90,8 @@ def main(argv=None):
         q, _, _ = generate_qkv(seq, n_heads=args.heads, batch=batch)
         _, k, v = generate_qkv(seq, n_heads=args.kv_heads, batch=batch,
                                seed=1)
-        flops = calc_causal_attn_flop(seq, 128, args.heads, batch)
+        flops = calc_causal_attn_flop(seq, 128, args.heads, batch,
+                                      window=args.window)
         for br in [int(b) for b in args.band_rows.split(",")]:
             bands = max(1, seq // br)
             for bq in [int(b) for b in args.block_q.split(",")]:
@@ -95,7 +99,9 @@ def main(argv=None):
                 hp = next((c for c in (4, 2)
                            if args.heads % c == 0 and group % c == 0), 1)
                 cfg = KernelConfig(block_q=bq, block_kv=2048, causal=True,
-                                   kv_splits=2, q_splits=2, head_pack=hp)
+                                   kv_splits=2, q_splits=2, head_pack=hp,
+                                   window=args.window,
+                                   optimized_softmax=not args.window)
                 for rname in rules:
                     rule = RULES[rname]
                     fn = jax.jit(functools.partial(

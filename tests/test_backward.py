@@ -218,6 +218,56 @@ def test_fused_q_splits():
         assert diff < 0.05, f"d{name} sp1-vs-sp2: {diff}"
 
 
+def test_banded_backward_matches_monolithic():
+    """The round-5 banded causal backward (row bands: non-causal prefix
+    rectangle + causal diagonal per band, dK/dV accumulated) must agree
+    with the monolithic fused kernel on the same saved (O, LSE)."""
+    from flash_attention_from_scratch_tpu.ops.flash_backward import (
+        flash_backward,
+    )
+
+    seq, heads, kv_heads, batch = 512, 4, 2, 1
+    q, _, _ = generate_qkv(seq, n_heads=heads, batch=batch,
+                           dtype=jnp.bfloat16)
+    _, k, v = generate_qkv(seq, n_heads=kv_heads, batch=batch,
+                           dtype=jnp.bfloat16, seed=1)
+    do = generate_qkv(seq, n_heads=heads, batch=batch, dtype=jnp.bfloat16,
+                      seed=2)[0]
+    mono_cfg = KernelConfig(block_q=128, block_kv=128, causal=True)
+    o, lse = flash_forward_with_lse(q, k, v, mono_cfg, interpret=True)
+    mono = flash_backward(q, k, v, o, lse, do, mono_cfg, interpret=True,
+                          fused=True)
+    import dataclasses
+
+    banded_cfg = dataclasses.replace(mono_cfg, decompose=True)
+    banded = flash_backward(q, k, v, o, lse, do, banded_cfg, interpret=True,
+                            bands=4)
+    for name, a, b in zip("qkv", mono, banded):
+        diff = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                     - b.astype(jnp.float32))))
+        assert diff < 0.05, f"d{name} banded-vs-monolithic: {diff}"
+
+
+def test_decompose_cfg_does_not_band_the_backward():
+    """The banded backward measured a LOSS (backward_banded_r5.csv), so a
+    decompose config must NOT route the backward through it by default —
+    only an explicit ``bands=`` does (covered by the parity test above)."""
+    import flash_attention_from_scratch_tpu.ops.flash_backward as fb
+
+    seq = 512
+    q, k, v = generate_qkv(seq, n_heads=2, batch=1, dtype=jnp.bfloat16)
+    do = generate_qkv(seq, n_heads=2, batch=1, dtype=jnp.bfloat16,
+                      seed=2)[0]
+    cfg = KernelConfig(block_q=128, block_kv=128, causal=True,
+                       decompose=True)
+    o, lse = flash_forward_with_lse(q, k, v, cfg, interpret=True)
+    fb._cached_banded_backward.cache_clear()
+    fb.flash_backward(q, k, v, o, lse, do, cfg, interpret=True)
+    assert fb._cached_banded_backward.cache_info().currsize == 0
+    fb.flash_backward(q, k, v, o, lse, do, cfg, interpret=True, bands=4)
+    assert fb._cached_banded_backward.cache_info().currsize == 1
+
+
 def test_lse_matches_reference():
     """LSE residual equals log-sum-exp of the scaled scores."""
     q, k, v = generate_qkv(256, n_heads=2, batch=1, dtype=jnp.bfloat16)
