@@ -93,13 +93,18 @@ def bench_quant(seq_lens, heads=16, variants=None, iters=5, log=print):
             mode, q_quant, i8c = VARIANTS[name]
             qq, kq, vq = _quantize_inputs(q, k, v, mode, q_quant)
             best = None
-            # Full tile sweep only for the quantized-COMPUTE headline; the
-            # upcast variants get the known-good bf16 shape (each timed
-            # point costs an unrolled-chain compile over the tunnel).
+            # Full tile sweep for the int8 variants (round 5: the upcast
+            # path under-measured at small tiles — 111 at bkv1024 vs 153.8
+            # at the whole-KV shape, profiles/quant_xplane_r5.json); fp8
+            # stays on one shape (its 42 TFLOP/s is conversion-bound, not
+            # tile-bound — no native fp8 MXU on v5).
             combos = ([(512, 1024, 1), (512, 1024, 2), (512, 2048, 2),
                        (512, 2048, 4), (512, 4096, 4), (512, 8192, 8),
                        (256, 8192, 4)]
-                      if name == "int8c" else [(512, 1024, 2)])
+                      if name == "int8c" else
+                      [(512, 1024, 2), (512, 2048, 2), (512, 4096, 4),
+                       (512, 8192, 8)]
+                      if name in ("int8u", "int8kv") else [(512, 1024, 2)])
             for bq, bkv, ks in combos:
                 if bkv > seq or bq > seq or (bkv // ks) % 128:
                     continue
