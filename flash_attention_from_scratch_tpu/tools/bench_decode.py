@@ -167,12 +167,15 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         cache = carry[1]
     elif args.unroll > 1:
-        @functools.partial(jax.jit, donate_argnums=(1,),
+        # params must be an ARGUMENT, not a closure: closed-over weights
+        # lower as 4.8 GB of inline constants and the remote compiler
+        # breaks its pipe (measured round 5, unroll 8 and 2 both).
+        @functools.partial(jax.jit, donate_argnums=(2,),
                            static_argnums=())
-        def run_u(toks, cache, lengths):
+        def run_u(p, toks, cache, lengths):
             for _ in range(args.unroll):
                 lengths = lengths + 1
-                logits, cache = decode_step(params, toks, cfg, cache,
+                logits, cache = decode_step(p, toks, cfg, cache,
                                             lengths, tables_j, interpret=False,
                                             attn_int8=attn_int8)
                 toks = jnp.argmax(logits, -1).astype(jnp.int32)
@@ -180,11 +183,11 @@ def main(argv=None):
 
         assert args.steps % args.unroll == 0, "--steps must divide by --unroll"
         carry = (tokens, cache, jnp.asarray(lengths0))
-        carry = run_u(*carry)  # compile + warm
+        carry = run_u(params, *carry)  # compile + warm
         sync(carry[0])
         t0 = time.perf_counter()
         for _ in range(args.steps // args.unroll):
-            carry = run_u(*carry)
+            carry = run_u(params, *carry)
         sync(carry[0])
         dt = time.perf_counter() - t0
         cache = carry[1]
