@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x4x2048x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x4x2048x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<4096x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<4096x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<4096x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 1, 2, 1>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 4, 1024, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 4, 2048, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 4, 2048, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 4, 1024, 128>}]} {
     %cst = arith.constant dense<0.127517432> : vector<1024x128xf32>
     %c3584 = arith.constant 3584 : index
@@ -440,31 +440,31 @@ module @_grid_kernel {
       tpu.vector_store %arg8[%c3584, %c0], %85 {strides = array<i32>} : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
     }
     scf.if %1 {
-      %62 = vector.load %arg8[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
-      %63 = vector.load %arg10[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
-      %64 = vector.broadcast %63 : vector<1024x1xf32> to vector<1024x128xf32>
-      %65 = arith.divf %62, %64 : vector<1024x128xf32>
+      %62 = vector.load %arg10[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
+      %63 = vector.load %arg8[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
+      %64 = vector.broadcast %62 : vector<1024x1xf32> to vector<1024x128xf32>
+      %65 = arith.divf %63, %64 : vector<1024x128xf32>
       %66 = arith.truncf %65 : vector<1024x128xf32> to vector<1024x128xbf16>
       %67 = vector.shape_cast %66 : vector<1024x128xbf16> to vector<1x1x1024x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %67 {strides = array<i32>} : memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x1024x128xbf16>, 
-      %68 = vector.load %arg8[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
-      %69 = vector.load %arg10[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
-      %70 = vector.broadcast %69 : vector<1024x1xf32> to vector<1024x128xf32>
-      %71 = arith.divf %68, %70 : vector<1024x128xf32>
+      %68 = vector.load %arg10[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
+      %69 = vector.load %arg8[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
+      %70 = vector.broadcast %68 : vector<1024x1xf32> to vector<1024x128xf32>
+      %71 = arith.divf %69, %70 : vector<1024x128xf32>
       %72 = arith.truncf %71 : vector<1024x128xf32> to vector<1024x128xbf16>
       %73 = vector.shape_cast %72 : vector<1024x128xbf16> to vector<1x1x1024x128xbf16>
       tpu.vector_store %arg7[%c0, %c1, %c0, %c0], %73 {strides = array<i32>} : memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x1024x128xbf16>, 
-      %74 = vector.load %arg8[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
-      %75 = vector.load %arg10[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
-      %76 = vector.broadcast %75 : vector<1024x1xf32> to vector<1024x128xf32>
-      %77 = arith.divf %74, %76 : vector<1024x128xf32>
+      %74 = vector.load %arg10[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
+      %75 = vector.load %arg8[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
+      %76 = vector.broadcast %74 : vector<1024x1xf32> to vector<1024x128xf32>
+      %77 = arith.divf %75, %76 : vector<1024x128xf32>
       %78 = arith.truncf %77 : vector<1024x128xf32> to vector<1024x128xbf16>
       %79 = vector.shape_cast %78 : vector<1024x128xbf16> to vector<1x1x1024x128xbf16>
       tpu.vector_store %arg7[%c0, %c2, %c0, %c0], %79 {strides = array<i32>} : memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x1024x128xbf16>, 
-      %80 = vector.load %arg8[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
-      %81 = vector.load %arg10[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
-      %82 = vector.broadcast %81 : vector<1024x1xf32> to vector<1024x128xf32>
-      %83 = arith.divf %80, %82 : vector<1024x128xf32>
+      %80 = vector.load %arg10[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x1xf32>
+      %81 = vector.load %arg8[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<1024x128xf32>
+      %82 = vector.broadcast %80 : vector<1024x1xf32> to vector<1024x128xf32>
+      %83 = arith.divf %81, %82 : vector<1024x128xf32>
       %84 = arith.truncf %83 : vector<1024x128xf32> to vector<1024x128xbf16>
       %85 = vector.shape_cast %84 : vector<1024x128xbf16> to vector<1x1x1024x128xbf16>
       tpu.vector_store %arg7[%c0, %c3, %c0, %c0], %85 {strides = array<i32>} : memref<1x4x1024x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x1024x128xbf16>, 
@@ -476,12 +476,42 @@ module @_grid_kernel {
     return %arg0, %arg1, %arg2, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_1(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c4_i32 = arith.constant 4 : i32
+    %0 = arith.muli %arg1, %c4_i32 : i32
+    %1 = arith.divsi %0, %c4_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c4_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_2(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c4_i32 = arith.constant 4 : i32
+    %0 = arith.muli %arg1, %c4_i32 : i32
+    %1 = arith.divsi %0, %c4_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c4_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_3(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
     %c0_i32 = arith.constant 0 : i32

@@ -1,16 +1,16 @@
-module @_fori_kernel {
+module @_fori_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg4: memref<1x4x2048x128xbf16, #tpu.memory_space<any>>, %arg5: memref<1x4x2048x128xbf16, #tpu.memory_space<any>>, %arg6: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<2x128x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<2x128x128xbf16, #tpu.memory_space<vmem>>, %arg9: memref<2x2x!tpu.dma_semaphore, #tpu.memory_space<semaphore_mem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>], iteration_bounds = array<i64: 1, 4, 16>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 1, 128, 128>}, {}, {}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 1, 128, 128>}]} {
     %cst = arith.constant dense<0.127517432> : vector<128x128xf32>
     %cst_0 = arith.constant dense<-1.000000e+30> : vector<128x128xf32>
     %cst_1 = arith.constant dense<0.000000e+00> : vector<128xf32>
     %cst_2 = arith.constant dense<0xFF800000> : vector<128xf32>
     %cst_3 = arith.constant dense<0.000000e+00> : vector<128x128xf32>
-    %c128_i32 = arith.constant 128 : i32
     %c2_i32 = arith.constant 2 : i32
     %c16_i32 = arith.constant 16 : i32
     %c1_i32 = arith.constant 1 : i32
-    %c0_i32 = arith.constant 0 : i32
     %c0 = arith.constant 0 : index
+    %c0_i32 = arith.constant 0 : i32
+    %c128_i32 = arith.constant 128 : i32
     %0 = vector.load %arg3[%c0, %c0, %c0, %c0] : memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x128x128xbf16>
     %1 = vector.shape_cast %0 : vector<1x1x128x128xbf16> to vector<128x128xbf16>
     %2 = tpu.memref_slice %arg4[%arg0, %arg1, %c0_i32, %c0_i32] : memref<1x4x2048x128xbf16, #tpu.memory_space<any>> -> memref<1x1x128x128xbf16, #tpu.memory_space<any>>

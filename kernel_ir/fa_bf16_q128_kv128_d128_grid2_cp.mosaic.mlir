@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<128x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<128x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<128x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 4, 16, 16>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 1, 128, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 1, 128, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 1, 128, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 1, 128, 128>}]} {
     %cst = arith.constant dense<0.0883883461> : vector<128x128xf32>
     %cst_0 = arith.constant dense<-1.000000e+30> : vector<128x128xf32>
@@ -51,10 +51,10 @@ module @_grid_kernel {
     tpu.vector_store %arg10[%c0, %c0], %28 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
     tpu.vector_store %arg8[%c0, %c0], %33 {strides = array<i32>} : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>, 
     scf.if %1 {
-      %34 = vector.load %arg8[%c0, %c0] : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>
-      %35 = vector.load %arg10[%c0, %c0] : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x1xf32>
-      %36 = vector.broadcast %35 : vector<128x1xf32> to vector<128x128xf32>
-      %37 = arith.divf %34, %36 : vector<128x128xf32>
+      %34 = vector.load %arg10[%c0, %c0] : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x1xf32>
+      %35 = vector.load %arg8[%c0, %c0] : memref<128x128xf32, #tpu.memory_space<vmem>>, vector<128x128xf32>
+      %36 = vector.broadcast %34 : vector<128x1xf32> to vector<128x128xf32>
+      %37 = arith.divf %35, %36 : vector<128x128xf32>
       %38 = arith.truncf %37 : vector<128x128xf32> to vector<128x128xbf16>
       %39 = vector.shape_cast %38 : vector<128x128xbf16> to vector<1x1x128x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %39 {strides = array<i32>} : memref<1x1x128x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x128x128xbf16>, 

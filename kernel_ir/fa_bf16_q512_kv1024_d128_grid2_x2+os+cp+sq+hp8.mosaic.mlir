@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x8x1024x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x8x1024x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<4096x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<4096x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<4096x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 1, 4, 2>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 8, 512, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 8, 1024, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 8, 1024, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 8, 512, 128>}]} {
     %cst = arith.constant dense<0.127517432> : vector<512x128xf32>
     %c3584 = arith.constant 3584 : index
@@ -473,59 +473,59 @@ module @_grid_kernel {
       tpu.vector_store %arg8[%c3584, %c0], %113 {strides = array<i32>} : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
     }
     scf.if %1 {
-      %90 = vector.load %arg8[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %91 = vector.load %arg10[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %92 = vector.broadcast %91 : vector<512x1xf32> to vector<512x128xf32>
-      %93 = arith.divf %90, %92 : vector<512x128xf32>
+      %90 = vector.load %arg10[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %91 = vector.load %arg8[%c0, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %92 = vector.broadcast %90 : vector<512x1xf32> to vector<512x128xf32>
+      %93 = arith.divf %91, %92 : vector<512x128xf32>
       %94 = arith.truncf %93 : vector<512x128xf32> to vector<512x128xbf16>
       %95 = vector.shape_cast %94 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %95 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %96 = vector.load %arg8[%c512, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %97 = vector.load %arg10[%c512, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %98 = vector.broadcast %97 : vector<512x1xf32> to vector<512x128xf32>
-      %99 = arith.divf %96, %98 : vector<512x128xf32>
+      %96 = vector.load %arg10[%c512, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %97 = vector.load %arg8[%c512, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %98 = vector.broadcast %96 : vector<512x1xf32> to vector<512x128xf32>
+      %99 = arith.divf %97, %98 : vector<512x128xf32>
       %100 = arith.truncf %99 : vector<512x128xf32> to vector<512x128xbf16>
       %101 = vector.shape_cast %100 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c1, %c0, %c0], %101 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %102 = vector.load %arg8[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %103 = vector.load %arg10[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %104 = vector.broadcast %103 : vector<512x1xf32> to vector<512x128xf32>
-      %105 = arith.divf %102, %104 : vector<512x128xf32>
+      %102 = vector.load %arg10[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %103 = vector.load %arg8[%c1024, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %104 = vector.broadcast %102 : vector<512x1xf32> to vector<512x128xf32>
+      %105 = arith.divf %103, %104 : vector<512x128xf32>
       %106 = arith.truncf %105 : vector<512x128xf32> to vector<512x128xbf16>
       %107 = vector.shape_cast %106 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c2, %c0, %c0], %107 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %108 = vector.load %arg8[%c1536, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %109 = vector.load %arg10[%c1536, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %110 = vector.broadcast %109 : vector<512x1xf32> to vector<512x128xf32>
-      %111 = arith.divf %108, %110 : vector<512x128xf32>
+      %108 = vector.load %arg10[%c1536, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %109 = vector.load %arg8[%c1536, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %110 = vector.broadcast %108 : vector<512x1xf32> to vector<512x128xf32>
+      %111 = arith.divf %109, %110 : vector<512x128xf32>
       %112 = arith.truncf %111 : vector<512x128xf32> to vector<512x128xbf16>
       %113 = vector.shape_cast %112 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c3, %c0, %c0], %113 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %114 = vector.load %arg8[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %115 = vector.load %arg10[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %116 = vector.broadcast %115 : vector<512x1xf32> to vector<512x128xf32>
-      %117 = arith.divf %114, %116 : vector<512x128xf32>
+      %114 = vector.load %arg10[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %115 = vector.load %arg8[%c2048, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %116 = vector.broadcast %114 : vector<512x1xf32> to vector<512x128xf32>
+      %117 = arith.divf %115, %116 : vector<512x128xf32>
       %118 = arith.truncf %117 : vector<512x128xf32> to vector<512x128xbf16>
       %119 = vector.shape_cast %118 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c4, %c0, %c0], %119 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %120 = vector.load %arg8[%c2560, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %121 = vector.load %arg10[%c2560, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %122 = vector.broadcast %121 : vector<512x1xf32> to vector<512x128xf32>
-      %123 = arith.divf %120, %122 : vector<512x128xf32>
+      %120 = vector.load %arg10[%c2560, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %121 = vector.load %arg8[%c2560, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %122 = vector.broadcast %120 : vector<512x1xf32> to vector<512x128xf32>
+      %123 = arith.divf %121, %122 : vector<512x128xf32>
       %124 = arith.truncf %123 : vector<512x128xf32> to vector<512x128xbf16>
       %125 = vector.shape_cast %124 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c5, %c0, %c0], %125 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %126 = vector.load %arg8[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %127 = vector.load %arg10[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %128 = vector.broadcast %127 : vector<512x1xf32> to vector<512x128xf32>
-      %129 = arith.divf %126, %128 : vector<512x128xf32>
+      %126 = vector.load %arg10[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %127 = vector.load %arg8[%c3072, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %128 = vector.broadcast %126 : vector<512x1xf32> to vector<512x128xf32>
+      %129 = arith.divf %127, %128 : vector<512x128xf32>
       %130 = arith.truncf %129 : vector<512x128xf32> to vector<512x128xbf16>
       %131 = vector.shape_cast %130 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c6, %c0, %c0], %131 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %132 = vector.load %arg8[%c3584, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %133 = vector.load %arg10[%c3584, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %134 = vector.broadcast %133 : vector<512x1xf32> to vector<512x128xf32>
-      %135 = arith.divf %132, %134 : vector<512x128xf32>
+      %132 = vector.load %arg10[%c3584, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %133 = vector.load %arg8[%c3584, %c0] : memref<4096x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %134 = vector.broadcast %132 : vector<512x1xf32> to vector<512x128xf32>
+      %135 = arith.divf %133, %134 : vector<512x128xf32>
       %136 = arith.truncf %135 : vector<512x128xf32> to vector<512x128xbf16>
       %137 = vector.shape_cast %136 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c7, %c0, %c0], %137 {strides = array<i32>} : memref<1x8x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
@@ -537,12 +537,42 @@ module @_grid_kernel {
     return %arg0, %arg1, %arg2, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_1(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c8_i32 = arith.constant 8 : i32
+    %0 = arith.muli %arg1, %c8_i32 : i32
+    %1 = arith.divsi %0, %c8_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c8_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_2(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c8_i32 = arith.constant 8 : i32
+    %0 = arith.muli %arg1, %c8_i32 : i32
+    %1 = arith.divsi %0, %c8_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c8_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_3(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
     %c0_i32 = arith.constant 0 : i32

@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x1x512x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x1x1024x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x1x1024x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x1x512x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<512x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<512x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<512x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 4, 4, 2>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 1, 512, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 1, 1024, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 1, 1024, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 1, 512, 128>}]} {
     %cst = arith.constant dense<0.127517432> : vector<512x1024xf32>
     %cst_0 = arith.constant dense<0.000000e+00> : vector<512x128xf32>
@@ -66,10 +66,10 @@ module @_grid_kernel {
       tpu.vector_store %arg8[%c0, %c0], %34 {strides = array<i32>} : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>, 
     }
     scf.if %1 {
-      %10 = vector.load %arg8[%c0, %c0] : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %11 = vector.load %arg10[%c0, %c0] : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %12 = vector.broadcast %11 : vector<512x1xf32> to vector<512x128xf32>
-      %13 = arith.divf %10, %12 : vector<512x128xf32>
+      %10 = vector.load %arg10[%c0, %c0] : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %11 = vector.load %arg8[%c0, %c0] : memref<512x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %12 = vector.broadcast %10 : vector<512x1xf32> to vector<512x128xf32>
+      %13 = arith.divf %11, %12 : vector<512x128xf32>
       %14 = arith.truncf %13 : vector<512x128xf32> to vector<512x128xbf16>
       %15 = vector.shape_cast %14 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %15 {strides = array<i32>} : memref<1x1x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 

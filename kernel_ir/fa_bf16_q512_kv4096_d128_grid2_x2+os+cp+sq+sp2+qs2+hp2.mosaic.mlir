@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x2x512x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x2x4096x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x2x4096x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x2x512x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<1024x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<1024x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<1024x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 2, 8, 1>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 2, 512, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 2, 4096, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 2, 4096, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 2, 512, 128>}]} {
     %cst = arith.constant dense<0.000000e+00> : vector<256x1xf32>
     %cst_0 = arith.constant dense<0.127517432> : vector<512x128xf32>
@@ -461,17 +461,17 @@ module @_grid_kernel {
       tpu.vector_store %arg8[%c768, %c0], %81 {strides = array<i32>} : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<256x128xf32>, 
     }
     scf.if %1 {
-      %28 = vector.load %arg8[%c0, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %29 = vector.load %arg10[%c0, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %30 = vector.broadcast %29 : vector<512x1xf32> to vector<512x128xf32>
-      %31 = arith.divf %28, %30 : vector<512x128xf32>
+      %28 = vector.load %arg10[%c0, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %29 = vector.load %arg8[%c0, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %30 = vector.broadcast %28 : vector<512x1xf32> to vector<512x128xf32>
+      %31 = arith.divf %29, %30 : vector<512x128xf32>
       %32 = arith.truncf %31 : vector<512x128xf32> to vector<512x128xbf16>
       %33 = vector.shape_cast %32 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %33 {strides = array<i32>} : memref<1x2x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %34 = vector.load %arg8[%c512, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %35 = vector.load %arg10[%c512, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %36 = vector.broadcast %35 : vector<512x1xf32> to vector<512x128xf32>
-      %37 = arith.divf %34, %36 : vector<512x128xf32>
+      %34 = vector.load %arg10[%c512, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %35 = vector.load %arg8[%c512, %c0] : memref<1024x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %36 = vector.broadcast %34 : vector<512x1xf32> to vector<512x128xf32>
+      %37 = arith.divf %35, %36 : vector<512x128xf32>
       %38 = arith.truncf %37 : vector<512x128xf32> to vector<512x128xbf16>
       %39 = vector.shape_cast %38 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c1, %c0, %c0], %39 {strides = array<i32>} : memref<1x2x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
@@ -483,12 +483,42 @@ module @_grid_kernel {
     return %arg0, %arg1, %arg2, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_1(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c2_i32 = arith.constant 2 : i32
+    %0 = arith.muli %arg1, %c2_i32 : i32
+    %1 = arith.divsi %0, %c2_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c2_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_2(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c2_i32 = arith.constant 2 : i32
+    %0 = arith.muli %arg1, %c2_i32 : i32
+    %1 = arith.divsi %0, %c2_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c2_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_3(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
     %c0_i32 = arith.constant 0 : i32

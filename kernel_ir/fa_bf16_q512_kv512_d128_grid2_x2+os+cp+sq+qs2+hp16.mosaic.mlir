@@ -1,4 +1,4 @@
-module @_grid_kernel {
+module @_grid_entry {
   func.func @main(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32, %arg4: memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, %arg5: memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, %arg6: memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, %arg7: memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, %arg8: memref<8192x128xf32, #tpu.memory_space<vmem>>, %arg9: memref<8192x128xf32, #tpu.memory_space<vmem>>, %arg10: memref<8192x128xf32, #tpu.memory_space<vmem>>) attributes {dimension_semantics = [#tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<parallel>, #tpu.dimension_semantics<arbitrary>], iteration_bounds = array<i64: 1, 1, 4, 4>, scalar_prefetch = 0 : i64, scratch_operands = 3 : i64, window_params = [{transform_indices = @transform_0, window_bounds = array<i64: 1, 16, 512, 128>}, {transform_indices = @transform_1, window_bounds = array<i64: 1, 16, 512, 128>}, {transform_indices = @transform_2, window_bounds = array<i64: 1, 16, 512, 128>}, {transform_indices = @transform_3, window_bounds = array<i64: 1, 16, 512, 128>}]} {
     %cst = arith.constant dense<0.127517432> : vector<512x128xf32>
     %c7936 = arith.constant 7936 : index
@@ -1737,115 +1737,115 @@ module @_grid_kernel {
       tpu.vector_store %arg8[%c7936, %c0], %265 {strides = array<i32>} : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<256x128xf32>, 
     }
     scf.if %1 {
-      %242 = vector.load %arg8[%c0, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %243 = vector.load %arg10[%c0, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %244 = vector.broadcast %243 : vector<512x1xf32> to vector<512x128xf32>
-      %245 = arith.divf %242, %244 : vector<512x128xf32>
+      %242 = vector.load %arg10[%c0, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %243 = vector.load %arg8[%c0, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %244 = vector.broadcast %242 : vector<512x1xf32> to vector<512x128xf32>
+      %245 = arith.divf %243, %244 : vector<512x128xf32>
       %246 = arith.truncf %245 : vector<512x128xf32> to vector<512x128xbf16>
       %247 = vector.shape_cast %246 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c0, %c0, %c0], %247 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %248 = vector.load %arg8[%c512, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %249 = vector.load %arg10[%c512, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %250 = vector.broadcast %249 : vector<512x1xf32> to vector<512x128xf32>
-      %251 = arith.divf %248, %250 : vector<512x128xf32>
+      %248 = vector.load %arg10[%c512, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %249 = vector.load %arg8[%c512, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %250 = vector.broadcast %248 : vector<512x1xf32> to vector<512x128xf32>
+      %251 = arith.divf %249, %250 : vector<512x128xf32>
       %252 = arith.truncf %251 : vector<512x128xf32> to vector<512x128xbf16>
       %253 = vector.shape_cast %252 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c1, %c0, %c0], %253 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %254 = vector.load %arg8[%c1024, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %255 = vector.load %arg10[%c1024, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %256 = vector.broadcast %255 : vector<512x1xf32> to vector<512x128xf32>
-      %257 = arith.divf %254, %256 : vector<512x128xf32>
+      %254 = vector.load %arg10[%c1024, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %255 = vector.load %arg8[%c1024, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %256 = vector.broadcast %254 : vector<512x1xf32> to vector<512x128xf32>
+      %257 = arith.divf %255, %256 : vector<512x128xf32>
       %258 = arith.truncf %257 : vector<512x128xf32> to vector<512x128xbf16>
       %259 = vector.shape_cast %258 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c2, %c0, %c0], %259 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %260 = vector.load %arg8[%c1536, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %261 = vector.load %arg10[%c1536, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %262 = vector.broadcast %261 : vector<512x1xf32> to vector<512x128xf32>
-      %263 = arith.divf %260, %262 : vector<512x128xf32>
+      %260 = vector.load %arg10[%c1536, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %261 = vector.load %arg8[%c1536, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %262 = vector.broadcast %260 : vector<512x1xf32> to vector<512x128xf32>
+      %263 = arith.divf %261, %262 : vector<512x128xf32>
       %264 = arith.truncf %263 : vector<512x128xf32> to vector<512x128xbf16>
       %265 = vector.shape_cast %264 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c3, %c0, %c0], %265 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %266 = vector.load %arg8[%c2048, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %267 = vector.load %arg10[%c2048, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %268 = vector.broadcast %267 : vector<512x1xf32> to vector<512x128xf32>
-      %269 = arith.divf %266, %268 : vector<512x128xf32>
+      %266 = vector.load %arg10[%c2048, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %267 = vector.load %arg8[%c2048, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %268 = vector.broadcast %266 : vector<512x1xf32> to vector<512x128xf32>
+      %269 = arith.divf %267, %268 : vector<512x128xf32>
       %270 = arith.truncf %269 : vector<512x128xf32> to vector<512x128xbf16>
       %271 = vector.shape_cast %270 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c4, %c0, %c0], %271 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %272 = vector.load %arg8[%c2560, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %273 = vector.load %arg10[%c2560, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %274 = vector.broadcast %273 : vector<512x1xf32> to vector<512x128xf32>
-      %275 = arith.divf %272, %274 : vector<512x128xf32>
+      %272 = vector.load %arg10[%c2560, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %273 = vector.load %arg8[%c2560, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %274 = vector.broadcast %272 : vector<512x1xf32> to vector<512x128xf32>
+      %275 = arith.divf %273, %274 : vector<512x128xf32>
       %276 = arith.truncf %275 : vector<512x128xf32> to vector<512x128xbf16>
       %277 = vector.shape_cast %276 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c5, %c0, %c0], %277 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %278 = vector.load %arg8[%c3072, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %279 = vector.load %arg10[%c3072, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %280 = vector.broadcast %279 : vector<512x1xf32> to vector<512x128xf32>
-      %281 = arith.divf %278, %280 : vector<512x128xf32>
+      %278 = vector.load %arg10[%c3072, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %279 = vector.load %arg8[%c3072, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %280 = vector.broadcast %278 : vector<512x1xf32> to vector<512x128xf32>
+      %281 = arith.divf %279, %280 : vector<512x128xf32>
       %282 = arith.truncf %281 : vector<512x128xf32> to vector<512x128xbf16>
       %283 = vector.shape_cast %282 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c6, %c0, %c0], %283 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %284 = vector.load %arg8[%c3584, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %285 = vector.load %arg10[%c3584, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %286 = vector.broadcast %285 : vector<512x1xf32> to vector<512x128xf32>
-      %287 = arith.divf %284, %286 : vector<512x128xf32>
+      %284 = vector.load %arg10[%c3584, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %285 = vector.load %arg8[%c3584, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %286 = vector.broadcast %284 : vector<512x1xf32> to vector<512x128xf32>
+      %287 = arith.divf %285, %286 : vector<512x128xf32>
       %288 = arith.truncf %287 : vector<512x128xf32> to vector<512x128xbf16>
       %289 = vector.shape_cast %288 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c7, %c0, %c0], %289 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %290 = vector.load %arg8[%c4096, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %291 = vector.load %arg10[%c4096, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %292 = vector.broadcast %291 : vector<512x1xf32> to vector<512x128xf32>
-      %293 = arith.divf %290, %292 : vector<512x128xf32>
+      %290 = vector.load %arg10[%c4096, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %291 = vector.load %arg8[%c4096, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %292 = vector.broadcast %290 : vector<512x1xf32> to vector<512x128xf32>
+      %293 = arith.divf %291, %292 : vector<512x128xf32>
       %294 = arith.truncf %293 : vector<512x128xf32> to vector<512x128xbf16>
       %295 = vector.shape_cast %294 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c8, %c0, %c0], %295 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %296 = vector.load %arg8[%c4608, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %297 = vector.load %arg10[%c4608, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %298 = vector.broadcast %297 : vector<512x1xf32> to vector<512x128xf32>
-      %299 = arith.divf %296, %298 : vector<512x128xf32>
+      %296 = vector.load %arg10[%c4608, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %297 = vector.load %arg8[%c4608, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %298 = vector.broadcast %296 : vector<512x1xf32> to vector<512x128xf32>
+      %299 = arith.divf %297, %298 : vector<512x128xf32>
       %300 = arith.truncf %299 : vector<512x128xf32> to vector<512x128xbf16>
       %301 = vector.shape_cast %300 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c9, %c0, %c0], %301 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %302 = vector.load %arg8[%c5120, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %303 = vector.load %arg10[%c5120, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %304 = vector.broadcast %303 : vector<512x1xf32> to vector<512x128xf32>
-      %305 = arith.divf %302, %304 : vector<512x128xf32>
+      %302 = vector.load %arg10[%c5120, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %303 = vector.load %arg8[%c5120, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %304 = vector.broadcast %302 : vector<512x1xf32> to vector<512x128xf32>
+      %305 = arith.divf %303, %304 : vector<512x128xf32>
       %306 = arith.truncf %305 : vector<512x128xf32> to vector<512x128xbf16>
       %307 = vector.shape_cast %306 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c10, %c0, %c0], %307 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %308 = vector.load %arg8[%c5632, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %309 = vector.load %arg10[%c5632, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %310 = vector.broadcast %309 : vector<512x1xf32> to vector<512x128xf32>
-      %311 = arith.divf %308, %310 : vector<512x128xf32>
+      %308 = vector.load %arg10[%c5632, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %309 = vector.load %arg8[%c5632, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %310 = vector.broadcast %308 : vector<512x1xf32> to vector<512x128xf32>
+      %311 = arith.divf %309, %310 : vector<512x128xf32>
       %312 = arith.truncf %311 : vector<512x128xf32> to vector<512x128xbf16>
       %313 = vector.shape_cast %312 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c11, %c0, %c0], %313 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %314 = vector.load %arg8[%c6144, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %315 = vector.load %arg10[%c6144, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %316 = vector.broadcast %315 : vector<512x1xf32> to vector<512x128xf32>
-      %317 = arith.divf %314, %316 : vector<512x128xf32>
+      %314 = vector.load %arg10[%c6144, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %315 = vector.load %arg8[%c6144, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %316 = vector.broadcast %314 : vector<512x1xf32> to vector<512x128xf32>
+      %317 = arith.divf %315, %316 : vector<512x128xf32>
       %318 = arith.truncf %317 : vector<512x128xf32> to vector<512x128xbf16>
       %319 = vector.shape_cast %318 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c12, %c0, %c0], %319 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %320 = vector.load %arg8[%c6656, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %321 = vector.load %arg10[%c6656, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %322 = vector.broadcast %321 : vector<512x1xf32> to vector<512x128xf32>
-      %323 = arith.divf %320, %322 : vector<512x128xf32>
+      %320 = vector.load %arg10[%c6656, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %321 = vector.load %arg8[%c6656, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %322 = vector.broadcast %320 : vector<512x1xf32> to vector<512x128xf32>
+      %323 = arith.divf %321, %322 : vector<512x128xf32>
       %324 = arith.truncf %323 : vector<512x128xf32> to vector<512x128xbf16>
       %325 = vector.shape_cast %324 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c13, %c0, %c0], %325 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %326 = vector.load %arg8[%c7168, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %327 = vector.load %arg10[%c7168, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %328 = vector.broadcast %327 : vector<512x1xf32> to vector<512x128xf32>
-      %329 = arith.divf %326, %328 : vector<512x128xf32>
+      %326 = vector.load %arg10[%c7168, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %327 = vector.load %arg8[%c7168, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %328 = vector.broadcast %326 : vector<512x1xf32> to vector<512x128xf32>
+      %329 = arith.divf %327, %328 : vector<512x128xf32>
       %330 = arith.truncf %329 : vector<512x128xf32> to vector<512x128xbf16>
       %331 = vector.shape_cast %330 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c14, %c0, %c0], %331 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
-      %332 = vector.load %arg8[%c7680, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
-      %333 = vector.load %arg10[%c7680, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
-      %334 = vector.broadcast %333 : vector<512x1xf32> to vector<512x128xf32>
-      %335 = arith.divf %332, %334 : vector<512x128xf32>
+      %332 = vector.load %arg10[%c7680, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x1xf32>
+      %333 = vector.load %arg8[%c7680, %c0] : memref<8192x128xf32, #tpu.memory_space<vmem>>, vector<512x128xf32>
+      %334 = vector.broadcast %332 : vector<512x1xf32> to vector<512x128xf32>
+      %335 = arith.divf %333, %334 : vector<512x128xf32>
       %336 = arith.truncf %335 : vector<512x128xf32> to vector<512x128xbf16>
       %337 = vector.shape_cast %336 : vector<512x128xbf16> to vector<1x1x512x128xbf16>
       tpu.vector_store %arg7[%c0, %c15, %c0, %c0], %337 {strides = array<i32>} : memref<1x16x512x128xbf16, #tpu.memory_space<vmem>>, vector<1x1x512x128xbf16>, 
@@ -1857,12 +1857,42 @@ module @_grid_kernel {
     return %arg0, %arg1, %arg2, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_1(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c16_i32 = arith.constant 16 : i32
+    %0 = arith.muli %arg1, %c16_i32 : i32
+    %1 = arith.divsi %0, %c16_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c16_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_2(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
+    %c1_i32 = arith.constant 1 : i32
     %c0_i32 = arith.constant 0 : i32
-    return %arg0, %arg1, %arg3, %c0_i32 : i32, i32, i32, i32
+    %c16_i32 = arith.constant 16 : i32
+    %0 = arith.muli %arg1, %c16_i32 : i32
+    %1 = arith.divsi %0, %c16_i32 : i32
+    %2 = arith.cmpi sgt, %0, %c0_i32 : i32
+    %3 = arith.extui %2 : i1 to i32
+    %4 = arith.cmpi slt, %0, %c0_i32 : i32
+    %5 = arith.extui %4 : i1 to i32
+    %6 = arith.subi %3, %5 : i32
+    %7 = arith.cmpi ne, %6, %c1_i32 : i32
+    %8 = arith.remsi %0, %c16_i32 : i32
+    %9 = arith.cmpi ne, %8, %c0_i32 : i32
+    %10 = arith.andi %7, %9 : i1
+    %11 = arith.subi %1, %c1_i32 : i32
+    %12 = arith.select %10, %11, %1 : i32
+    return %arg0, %12, %arg3, %c0_i32 : i32, i32, i32, i32
   }
   func.func @transform_3(%arg0: i32, %arg1: i32, %arg2: i32, %arg3: i32) -> (i32, i32, i32, i32) {
     %c0_i32 = arith.constant 0 : i32
