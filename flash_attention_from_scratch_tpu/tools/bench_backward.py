@@ -157,9 +157,25 @@ def bench_backward(seq_lens, heads=16, kv_heads=None, causal=False,
             except Exception as e:  # OOM / compile failure: record and move on
                 log(f"  seq {seq:>6} {label:<16} FAILED: {type(e).__name__}")
                 continue
-            # secs covers bwd only; add the forward for the fwd+bwd metric
+            # secs covers bwd only; add the forward for the fwd+bwd metric.
+            # The forward must be the cfg the MODEL dispatches: for causal
+            # shapes that is the banded decomposition (158-180 TFLOP/s at
+            # Llama shapes), not for_shape's monolithic whole-KV walk
+            # (~79) — round 5's first causal rows under-reported fwd+bwd
+            # by timing the wrong forward (VERDICT r4 #4 accounting).
+            fwd_cfg = cfg
+            if causal and seq % 512 == 0 and seq >= 2048:
+                import dataclasses as _dc
+
+                group = heads // kv_heads
+                hp = next((c for c in (4, 2)
+                           if heads % c == 0 and group % c == 0), 1)
+                fwd_cfg = KernelConfig(
+                    block_q=512, block_kv=2048, causal=True, decompose=True,
+                    kv_splits=2, q_splits=2, head_pack=hp)
             fsecs = chain_runtime(
-                lambda x, k_, v_: flash_forward_with_lse(x, k_, v_, cfg)[0],
+                lambda x, k_, v_: flash_forward_with_lse(x, k_, v_,
+                                                         fwd_cfg)[0],
                 q, k, v, iters=iters, est_secs=fwd_flops / 150e12)
             tot = secs + fsecs
             tflops = flops / 1e12 / tot
